@@ -1,0 +1,156 @@
+"""Deterministic synthetic interleaved-document corpus.
+
+Shape matches BASELINE.json input_hint exactly:
+    doc_id: string,
+    spans:  array<struct<kind string, text string, media_ref string, offset int>>
+
+Two generators:
+- ``corpus_rows(i)``: pure Python, one document from its index — shared by
+  the Spark generator and the test oracle (no wall clock, no RNG state).
+- ``generate_corpus(spark, n_docs)``: distributed generation via
+  ``mapInPandas`` over ``spark.range`` — no driver-side loops, scales to any
+  n_docs; at 100 TB this is replaced by reading the real Iceberg table.
+
+Skew: every SKEW_EVERY-th document is media-heavy (HEAVY_SPANS spans,
+mostly media) to model the reference's multi-screenshot accounts and force
+the pipeline's skew handling to matter (BASELINE.json north_star).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+import pyspark.sql.functions as F
+import pyspark.sql.types as T
+from pyspark.sql import DataFrame, SparkSession
+
+SPAN_SCHEMA = T.StructType(
+    [
+        T.StructField("kind", T.StringType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("media_ref", T.StringType()),
+        T.StructField("offset", T.IntegerType()),
+    ]
+)
+DOCS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType()),
+        T.StructField("spans", T.ArrayType(SPAN_SCHEMA)),
+    ]
+)
+
+CONTENT_VOCAB = (
+    "spark table query join agg window sort merge batch stream filter scan "
+    "row column key value hash data fast slow big small group order line part"
+).split()
+BOILER_VOCAB = (
+    "nav menu footer copyright subscribe cookie login signup advertisement "
+    "banner sidebar tracking"
+).split()
+
+SKEW_EVERY = 53
+HEAVY_SPANS = 48
+
+
+def _h64(s: str) -> int:
+    return int(hashlib.md5(s.encode("utf-8")).hexdigest()[:16], 16)
+
+
+def doc_id_for(i: int) -> str:
+    return f"doc-{i:08d}"
+
+
+def corpus_rows(i: int) -> tuple[str, list[dict]]:
+    """Document #i: (doc_id, spans). Pure function of i."""
+    doc_id = doc_id_for(i)
+    h = _h64("gen:" + doc_id)
+    heavy = i % SKEW_EVERY == 0
+    n_spans = HEAVY_SPANS if heavy else 2 + (h >> 8) % 8
+    spans = []
+    for j in range(n_spans):
+        hj = _h64(f"gen:{doc_id}:{j}")
+        is_media = (hj % 3 == 0) or (heavy and j % 4 != 0)
+        if is_media:
+            spans.append(
+                {"kind": "media", "text": "", "media_ref": f"mem://{doc_id}/{j}", "offset": j}
+            )
+        else:
+            n_words = 5 + hj % 12
+            words = [CONTENT_VOCAB[_h64(f"w:{doc_id}:{j}:{k}") % len(CONTENT_VOCAB)] for k in range(n_words)]
+            if hj % 4 == 0:
+                # boilerplate-dominated span: >50% boiler tokens -> dropped
+                n_boiler = n_words + 1
+                boiler = [
+                    BOILER_VOCAB[_h64(f"b:{doc_id}:{j}:{k}") % len(BOILER_VOCAB)]
+                    for k in range(n_boiler)
+                ]
+                words = boiler + words
+            spans.append(
+                {"kind": "text", "text": " ".join(words), "media_ref": "", "offset": j}
+            )
+    return doc_id, spans
+
+
+def generate_corpus(spark: SparkSession, n_docs: int, partitions: int | None = None) -> DataFrame:
+    """Distributed corpus: one row per document, input_hint schema."""
+    parts = partitions or max(spark.sparkContext.defaultParallelism, 8)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [corpus_rows(int(i)) for i in pdf["id"]]
+            yield pd.DataFrame(
+                {"doc_id": [r[0] for r in rows], "spans": [r[1] for r in rows]}
+            )
+
+    return (
+        spark.range(0, n_docs, 1, parts)
+        .mapInPandas(gen, schema=DOCS_SCHEMA)
+    )
+
+
+def corpus_from_documents(documents: DataFrame, chunk_words: int = 7) -> DataFrame:
+    """Derive an interleaved corpus from the driver-provided ``documents``
+    parquet table (doc_id, text, ...): split each text into ``chunk_words``
+    word chunks -> text spans; insert a deterministic media span every 3rd
+    position. Pure DataFrame ops (no Python row loop) so Catalyst sees the
+    whole derivation; used by ``entry()`` and the benchmarks.
+    """
+    d = documents.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.split(F.trim(F.col("text")), r"\s+").alias("words"),
+    )
+    n_chunks = (F.size("words") + F.lit(chunk_words - 1)) / F.lit(chunk_words)
+    d = d.select(
+        "doc_id",
+        F.transform(
+            F.sequence(F.lit(0), n_chunks.cast("int") - 1),
+            lambda c: F.concat_ws(
+                " ", F.slice(F.col("words"), c * chunk_words + 1, chunk_words)
+            ),
+        ).alias("chunks"),
+    )
+    # every 3rd span slot is media (media_ref derived from doc_id + slot)
+    spans = F.transform(
+        F.col("chunks"),
+        lambda chunk, j: F.when(
+            j % 3 == F.lit(2),
+            F.struct(
+                F.lit("media").alias("kind"),
+                F.lit("").alias("text"),
+                F.concat(F.lit("mem://"), F.col("doc_id"), F.lit("/"), j.cast("string")).alias(
+                    "media_ref"
+                ),
+                j.cast("int").alias("offset"),
+            ),
+        ).otherwise(
+            F.struct(
+                F.lit("text").alias("kind"),
+                chunk.alias("text"),
+                F.lit("").alias("media_ref"),
+                j.cast("int").alias("offset"),
+            )
+        ),
+    )
+    return d.select("doc_id", spans.alias("spans"))
