@@ -1,0 +1,138 @@
+"""Resumable extraction with per-partition checkpoints + lineage/metrics.
+
+north_rule requirement: "resumable from checkpoint with per-partition
+lineage + metrics". The reference's resume story is idempotent INSERT OR
+IGNORE re-runs over a 2-day window (db/__init__.py:110-116,
+core/run.py:132-138); at 10^12 docs re-reading everything is not viable, so
+the rebuild checkpoints at document-bucket granularity:
+
+- docs are bucketed by xxhash64(doc_id) % n_buckets (stable, shuffle-free
+  derivation; on Iceberg this is the bucket partition transform),
+- buckets are processed in waves (one Spark job per wave, wave size =
+  buckets/waves), each wave appends per-bucket lineage rows
+  (bucket, rows_out, docs_in, wall_ms, run_id, status),
+- a restart reads the lineage table and anti-selects completed buckets —
+  finished work is never reprocessed; a half-finished wave reruns whole,
+  and dynamic partition overwrite makes that rerun idempotent (bucket
+  partitions are replaced, never double-appended).
+
+The output table is partitioned by bucket so a wave only writes its own
+partitions.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+import uuid
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from .pipeline import extract_spans_flat
+
+
+class CheckpointedExtraction:
+    def __init__(
+        self,
+        spark: SparkSession,
+        out_dir: str,
+        n_buckets: int = 64,
+        waves: int = 4,
+    ) -> None:
+        self.spark = spark
+        self.out_dir = out_dir
+        self.data_dir = os.path.join(out_dir, "spans_out")
+        self.lineage_dir = os.path.join(out_dir, "lineage")
+        self.n_buckets = n_buckets
+        self.waves = waves
+
+    # -- lineage ---------------------------------------------------------------
+
+    def completed_buckets(self) -> set[int]:
+        try:
+            rows = (
+                self.spark.read.parquet(self.lineage_dir)
+                .where(F.col("status") == "ok")
+                .select("bucket")
+                .distinct()
+                .collect()
+            )
+        except Exception:
+            return set()
+        return {r["bucket"] for r in rows}
+
+    def lineage(self) -> DataFrame | None:
+        try:
+            return self.spark.read.parquet(self.lineage_dir)
+        except Exception:
+            return None
+
+    def _append_lineage(self, rows: list[dict]) -> None:
+        df = self.spark.createDataFrame(
+            [(r["bucket"], r["rows_out"], r["docs_in"], r["wall_ms"], r["run_id"], r["status"]) for r in rows],
+            schema="bucket int, rows_out long, docs_in long, wall_ms long, run_id string, status string",
+        )
+        df.coalesce(1).write.mode("append").parquet(self.lineage_dir)
+
+    # -- run -------------------------------------------------------------------
+
+    def run(self, docs: DataFrame, fail_after_waves: int | None = None) -> DataFrame:
+        """Process all not-yet-completed buckets; returns the output table.
+
+        ``fail_after_waves`` simulates a mid-run crash (tests/resume)."""
+        run_id = uuid.uuid4().hex[:12]
+        bucketed = docs.withColumn(
+            "bucket", F.pmod(F.xxhash64("doc_id"), F.lit(self.n_buckets)).cast("int")
+        )
+        done = self.completed_buckets()
+        todo = sorted(set(range(self.n_buckets)) - done)
+        wave_size = max(1, (len(todo) + self.waves - 1) // self.waves) if todo else 1
+
+        for w in range(0, len(todo), wave_size):
+            if fail_after_waves is not None and w // wave_size >= fail_after_waves:
+                raise RuntimeError("simulated crash between waves")
+            wave_buckets = todo[w : w + wave_size]
+            t0 = time.time()
+            wave_docs = bucketed.where(F.col("bucket").isin(wave_buckets))
+            out = extract_spans_flat(wave_docs.select("doc_id", "spans")).join(
+                wave_docs.select("doc_id", "bucket"), on="doc_id", how="left"
+            )
+            # dynamic overwrite: only this wave's bucket partitions are
+            # replaced, so re-running a bucket after a mid-wave crash (data
+            # written, lineage not) is idempotent instead of duplicating
+            (
+                out.write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("bucket")
+                .parquet(self.data_dir)
+            )
+            wall_ms = int((time.time() - t0) * 1000)  # per-wave wall clock,
+            # recorded on each of the wave's buckets (bucket-level timing
+            # would need per-task instrumentation; wave granularity is what
+            # resume decisions use)
+            stats = {
+                r["bucket"]: (r["rows_out"], r["docs_in"])
+                for r in self.spark.read.parquet(self.data_dir)
+                .where(F.col("bucket").isin(wave_buckets))
+                .groupBy("bucket")
+                .agg(
+                    F.count("*").alias("rows_out"),
+                    F.countDistinct("doc_id").alias("docs_in"),
+                )
+                .collect()
+            }
+            self._append_lineage(
+                [
+                    {
+                        "bucket": int(b),
+                        "rows_out": int(stats.get(b, (0, 0))[0]),
+                        "docs_in": int(stats.get(b, (0, 0))[1]),
+                        "wall_ms": wall_ms,
+                        "run_id": run_id,
+                        "status": "ok",
+                    }
+                    for b in wave_buckets
+                ]
+            )
+        return self.spark.read.parquet(self.data_dir)
