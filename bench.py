@@ -1,0 +1,113 @@
+#!/usr/bin/env python
+"""Benchmark harness — one JSON line on stdout.
+
+Headline metric: docs/sec of the flagship interleaved-extraction pipeline
+over a corpus derived from the sf documents table, amplified by
+REPLICATE_DOCS copies (sf0.1 has 5k docs; amplification gives the ~50k+
+docs needed for task counts >> cores so the measurement is compute-bound,
+not scheduling-bound).
+
+Also times the headline relational/training-data queries (wall sec each).
+
+    SPARK_GRAFT_SF_DIR  input dir  (default /root/testdata/sf0.1)
+    SPARK_GRAFT_CPUS    local[N]   (default 32)
+    BENCH_REPLICATE     corpus amplification factor (default 10)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import pyspark.sql.functions as F  # noqa: E402
+
+from xhs_ocr_spark import queries as Q  # noqa: E402
+from xhs_ocr_spark.extraction.datagen import corpus_from_documents  # noqa: E402
+from xhs_ocr_spark.extraction.pipeline import extract_spans_flat  # noqa: E402
+from xhs_ocr_spark.session import get_spark  # noqa: E402
+
+BENCH_QUERIES = [
+    "q02_related_merge",
+    "q12_merge_pipeline",
+    "q13_span_reorder",
+    "q15_lineitem_agg",
+    "q16_join_revenue",
+    "q21_quality_score",
+    "q24_minhash_signature",
+    "q25_lsh_pairs",
+    "q26_simhash",
+    "q27_ngram_jaccard",
+    "q28_cosine_topk",
+    "q29_embedding_neardup",
+]
+
+
+def amplified_corpus(spark, sf_dir: str, replicate: int):
+    """Derive the interleaved corpus and replicate it with distinct doc_ids
+    (deterministic; replica index becomes a doc_id suffix)."""
+    docs = corpus_from_documents(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    if replicate <= 1:
+        return docs
+    reps = spark.range(replicate).select(F.col("id").alias("rep"))
+    return docs.crossJoin(reps).select(
+        F.concat_ws("#", "doc_id", "rep").alias("doc_id"),
+        F.expr(
+            "transform(spans, s -> named_struct("
+            "'kind', s.kind, 'text', s.text, "
+            "'media_ref', case when s.media_ref = '' then '' "
+            "  else concat(s.media_ref, '?rep=', cast(rep as string)) end, "
+            "'offset', s.offset))"
+        ).alias("spans"),
+    )
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    replicate = int(os.environ.get("BENCH_REPLICATE", "10"))
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+
+    spark = get_spark("xhs-ocr-spark-bench", cores=cores)
+
+    # ---- flagship extraction throughput ----
+    corpus = amplified_corpus(spark, sf_dir, replicate)
+    n_docs = corpus.count()  # materialize input cardinality outside the timed region? No:
+    # count() above also warms the scan; the timed run below re-derives lazily.
+    t0 = time.time()
+    out_rows = extract_spans_flat(corpus).count()
+    extract_sec = time.time() - t0
+    docs_per_sec = n_docs / extract_sec
+
+    # ---- per-query wall times ----
+    qs = Q.queries()
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        t0 = time.time()
+        qs[name](spark, sf_dir).count()
+        timings[name] = round(time.time() - t0, 3)
+    timings["q30_extract_flagship"] = round(extract_sec, 3)
+
+    print(
+        json.dumps(
+            {
+                "metric": "docs_per_sec_extraction",
+                "value": round(docs_per_sec, 2),
+                "unit": "docs/sec",
+                "queries": timings,
+                "sf": sf,
+                "n_docs": n_docs,
+                "out_rows": out_rows,
+                "cores": cores,
+                "replicate": replicate,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,64 @@
+"""Smoke the driver contract: entry() + a representative oracle subset.
+
+The full 28-query sweep lives in scripts/oracle_check.py (run before every
+round); here a fast representative subset keeps the suite green-gate quick.
+"""
+
+import math
+
+import duckdb
+import pytest
+
+import __spark_entry__ as E
+
+SF = "/root/testdata/sf0.001"
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+SUBSET = [
+    "q02_related_merge",    # J1 semantics
+    "q13_span_reorder",     # O7 + text route derivation
+    "q24_minhash_signature",  # portable hashing
+    "q28_cosine_topk",      # float-sensitive ranking
+]
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
+    return con
+
+
+def _norm(v):
+    if isinstance(v, float):
+        return "nan" if math.isnan(v) else f"{v:.9g}"
+    return str(v)
+
+
+def test_entry_runs(spark):
+    df = E.entry(spark)
+    assert df.count() > 0
+    assert set(df.columns) == {"doc_id", "kind", "text", "media_ref", "order"}
+
+
+def test_every_query_has_callable_and_most_have_oracle():
+    qs, os_ = E.queries(), E.oracle_sql()
+    assert len(qs) >= 25
+    missing = set(os_) - set(qs)
+    assert not missing  # every oracle belongs to a query
+    no_oracle = set(qs) - set(os_)
+    assert no_oracle <= {"q30_extract_flagship"}  # only non-SQL ops omitted
+
+
+@pytest.mark.parametrize("name", SUBSET)
+def test_query_matches_duckdb_oracle(spark, duck, name):
+    qs, os_ = E.queries(), E.oracle_sql()
+    sdf = qs[name](spark, SF)
+    scols = sorted(sdf.columns)
+    srows = sorted(tuple(_norm(r[c]) for c in scols) for r in sdf.collect())
+    cur = duck.execute(os_[name])
+    ocols_raw = [d[0] for d in cur.description]
+    order = sorted(range(len(ocols_raw)), key=lambda i: ocols_raw[i])
+    orows = sorted(tuple(_norm(r[i]) for i in order) for r in cur.fetchall())
+    assert scols == sorted(ocols_raw)
+    assert srows == orows

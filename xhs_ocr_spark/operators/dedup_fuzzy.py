@@ -1,0 +1,215 @@
+"""Near-duplicate detection: MinHash+LSH, SimHash, n-gram Jaccard.
+
+Scale design (the part that matters at 100 TB):
+- shingling + signatures are per-row expressions (no shuffle);
+- LSH banding turns the O(n^2) pair problem into a groupBy on band keys —
+  one shuffle, and AQE splits hot buckets;
+- candidate pairs are verified only within buckets (the classic
+  Broder/Indyk scheme), never all-pairs;
+- everything uses the portable md5-prefix hash so the DuckDB oracle can
+  recompute signatures bit-for-bit.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from .textops import words
+
+DEFAULT_SHINGLE = 3
+DEFAULT_HASHES = 8
+DEFAULT_BANDS = 4  # rows-per-band = DEFAULT_HASHES / DEFAULT_BANDS = 2
+
+
+def shingles(text_col, n: int = DEFAULT_SHINGLE):
+    """Word n-gram shingles as an array<string> (space-joined)."""
+    ws = words(text_col)
+    idx = F.sequence(F.lit(1), F.greatest(F.size(ws) - (n - 1), F.lit(1)))
+    return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(ws, i, n)))
+
+
+def minhash_signature(text_col, k: int = DEFAULT_HASHES, n: int = DEFAULT_SHINGLE):
+    """array<string> of k minhashes.
+
+    Hash family: minhash i = min over shingles of the i%4-th 8-hex-char
+    chunk of md5('<i//4>|' || shingle) — four 32-bit hash functions per
+    md5 evaluation (4x fewer digests than one-md5-per-i; md5 dominates the
+    signature cost). Min over hex strings == min over the uniform hash
+    values, and the construction is engine-portable (DuckDB twin in
+    queries.py)."""
+    sh = shingles(text_col, n)
+
+    def mh(i: int):
+        grp, chunk = divmod(i, 4)
+        return F.array_min(
+            F.transform(
+                sh,
+                lambda s: F.substring(
+                    F.md5(F.concat(F.lit(str(grp)), F.lit("|"), s)), chunk * 8 + 1, 8
+                ),
+            )
+        )
+
+    return F.array([mh(i) for i in range(k)])
+
+
+def band_keys(sig_col, bands: int = DEFAULT_BANDS, k: int = DEFAULT_HASHES):
+    """array<string> of band keys: band b = md5(b || joined rows)."""
+    rows_per_band = k // bands
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: F.md5(
+            F.concat(
+                b.cast("string"),
+                F.lit("#"),
+                F.concat_ws(",", F.slice(sig_col, b * rows_per_band + 1, rows_per_band)),
+            )
+        ),
+    )
+
+
+def pair_expansion(ids_col):
+    """All (lo, hi) pairs from a sorted id array, as array<struct>.
+    Used to expand small LSH buckets without a self-join."""
+    n = F.size(ids_col)
+    return F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.transform(
+                F.sequence(i + 1, n),
+                lambda j: F.struct(
+                    F.element_at(ids_col, i).alias("id_a"),
+                    F.element_at(ids_col, j).alias("id_b"),
+                ),
+            ),
+        )
+    )
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = DEFAULT_HASHES,
+    bands: int = DEFAULT_BANDS,
+    n: int = DEFAULT_SHINGLE,
+) -> DataFrame:
+    """Distinct candidate pairs (id_a < id_b) sharing >=1 LSH band.
+
+    Plan: signature+bands computed ONCE per row in the scan stage ->
+    groupBy(band) collecting the (small) bucket -> in-expression pair
+    expansion -> distinct. One shuffle on uniformly-distributed md5 band
+    keys + one for distinct; no self-join, so the (expensive) signature
+    expression tree is never duplicated across join sides. Oversized
+    buckets (hot bands) are truncated defensively at 1000 members —
+    anything that size is a degenerate band (all-identical docs)."""
+    # two exchanges around the signature, both over tiny rows:
+    # - BEFORE: spread input across cores (a low-partition parquet scan
+    #   would otherwise compute every signature on one task),
+    # - AFTER: materialization barrier so Catalyst can't inline the whole
+    #   minhash expression tree into EVERY band slice (bands× recompute —
+    #   measured 4x wall time without it).
+    parts = df.sparkSession.sparkContext.defaultParallelism * 2
+    sig_mat = (
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__text"))
+        .repartition(parts, "id")
+        .select("id", minhash_signature(F.col("__text"), k, n).alias("sig"))
+        .repartition(parts, "id")
+    )
+    sig = sig_mat.select(
+        "id", F.explode(band_keys(F.col("sig"), bands, k)).alias("band")
+    )
+    buckets = (
+        sig.groupBy("band")
+        .agg(F.slice(F.sort_array(F.collect_set("id")), 1, 1000).alias("ids"))
+        .where(F.size("ids") > 1)
+    )
+    return (
+        buckets.select(F.explode(pair_expansion(F.col("ids"))).alias("p"))
+        .select(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
+        .distinct()
+    )
+
+
+def simhash(text_col, bits: int = 16):
+    """SimHash over word hashes: bit j of the output is the sign of the
+    sum over words of (+1 if bit j of h64(word) else -1).
+
+    16 bits keeps the per-doc expression tree small while exercising the
+    full algorithm; at scale widen to 64 via a pandas UDF if expression
+    size bites."""
+    from .textops import h64
+
+    ws = words(text_col)
+    hs = F.transform(ws, h64)
+
+    # NB: default-arg capture (lambda acc, h, j=j) would raise — pyspark's
+    # higher-order-function wrapper binds a lambda variable per declared
+    # parameter. A closure factory keeps the arity at 2.
+    def vote_for_bit(j: int):
+        return lambda acc, h: acc + F.when(
+            F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1
+        ).otherwise(-1)
+
+    bit_votes = [F.aggregate(hs, F.lit(0), vote_for_bit(j)) for j in range(bits)]
+    out = F.lit(0).cast("long")
+    for j, vote in enumerate(bit_votes):
+        out = out + F.when(vote > 0, F.lit(2**j).cast("long")).otherwise(F.lit(0).cast("long"))
+    return out
+
+
+def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exact dedup via fingerprint groupBy: groups with >1 member,
+    returning (fingerprint, n_dups, keep_id = min id)."""
+    from .textops import fingerprint
+
+    return (
+        df.select(F.col(id_col).alias("id"), fingerprint(F.col(text_col)).alias("fp"))
+        .groupBy("fp")
+        .agg(F.count("*").alias("n_dups"), F.min("id").alias("keep_id"))
+        .where(F.col("n_dups") > 1)
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = DEFAULT_SHINGLE,
+    threshold: float = 0.5,
+    scope_col: str | None = None,
+) -> DataFrame:
+    """Jaccard similarity over distinct word n-grams, computed via an
+    inverted index (explode -> self-join on shingle -> count) — the
+    standard set-similarity join; ``scope_col`` bounds the candidate space
+    (e.g. same source) when the corpus is huge.
+
+    Returns (id_a, id_b, jacc_x1000) with jacc >= threshold."""
+    ex = df.select(
+        F.col(id_col).alias("id"),
+        *( [F.col(scope_col).alias("scope")] if scope_col else [] ),
+        F.explode(F.array_distinct(shingles(F.col(text_col), n))).alias("sh"),
+    )
+    sizes = ex.groupBy("id").agg(F.count("*").alias("sz"))
+    group_keys = ["sh", "scope"] if scope_col else ["sh"]
+    # inverted index: group ids per shingle, expand pairs in-expression
+    # (no self-join — the shingle expression tree is evaluated once)
+    posting = (
+        ex.groupBy(*group_keys)
+        .agg(F.sort_array(F.collect_set("id")).alias("ids"))
+        .where(F.size("ids") > 1)
+    )
+    inter = (
+        posting.select(F.explode(pair_expansion(F.col("ids"))).alias("p"))
+        .groupBy(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    out = (
+        inter.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
+        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+        .withColumn("jacc", F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")))
+        .where(F.col("jacc") >= threshold)
+        .select("id_a", "id_b", F.round(F.col("jacc") * 1000).cast("long").alias("jacc_x1000"))
+    )
+    return out

@@ -1,0 +1,113 @@
+"""Similarity search over embedding columns (array<float>).
+
+- brute-force cosine top-k: correctness baseline; the query side is tiny
+  and broadcast, the corpus side streams — one pass, no shuffle besides
+  the final top-k window.
+- random-hyperplane LSH: the scale path; sign-bit bucket key per vector,
+  candidates only within buckets. Hyperplanes are deterministic rationals
+  so the DuckDB oracle reproduces them exactly.
+
+All dot products via F.zip_with + F.aggregate (JVM-side); no Python.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+N_PLANES = 8
+PLANE_MOD = 997
+
+
+def hyperplane(dim: int, p: int) -> list[float]:
+    """Deterministic pseudo-random hyperplane p: component j =
+    ((2654435761*(p*dim+j+1)) % 997)/997 - 0.5 (Knuth multiplicative)."""
+    return [((2654435761 * (p * dim + j + 1)) % PLANE_MOD) / PLANE_MOD - 0.5 for j in range(dim)]
+
+
+def dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a):
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a, b):
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 3,
+) -> DataFrame:
+    """For each query vector: top-k corpus neighbors by cosine (self
+    excluded). Query side is broadcast; ranking via window."""
+    q = queries.select(
+        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
+    )
+    c = corpus.select(F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_vec"))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .where(F.col("n_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "n_id",
+            cosine(F.col("q_vec"), F.col("n_vec")).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("n_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("q_id", "n_id", F.col("rank").cast("long").alias("rank"))
+    )
+
+
+def lsh_bucket(vec_col, dim: int, n_planes: int = N_PLANES):
+    """Sign-bit bucket id: bit p set iff dot(vec, plane_p) > 0."""
+    out = F.lit(0).cast("long")
+    for p in range(n_planes):
+        plane = F.array([F.lit(v) for v in hyperplane(dim, p)])
+        out = out + F.when(dot(vec_col, plane) > 0, F.lit(2**p).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return out
+
+
+def lsh_near_neighbors(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_planes: int = N_PLANES,
+    min_cos: float = 0.6,
+) -> DataFrame:
+    """Candidate pairs sharing an LSH bucket, verified by exact cosine.
+    Returns (id_a, id_b) with cosine >= min_cos, id_a < id_b."""
+    b = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        lsh_bucket(F.col(vec_col), dim, n_planes).alias("bucket"),
+    )
+    pairs = (
+        b.alias("a")
+        .join(b.alias("b"), on="bucket")
+        .where(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            cosine(F.col("a.vec"), F.col("b.vec")).alias("cos"),
+        )
+        .where(F.col("cos") >= min_cos)
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    return pairs

@@ -1,0 +1,111 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+All pure built-in column expressions (JVM-side, whole-stage codegen) — at
+100 TB these run at scan speed with full pushdown. Each has an exact ANSI
+SQL twin in __spark_entry__.oracle_sql() checked by DuckDB.
+
+Portable hash primitive: the first 15 hex chars of md5 as a bigint —
+identical in Spark (conv/substring) and DuckDB ('0x'||substr cast).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column
+
+# language-marker stopwords for the n-gram-free heuristic language ID.
+# Deterministic function of the text only (the corpus vocabulary is
+# synthetic, so this checks the operator, not real-world accuracy).
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "de": ("der", "die", "das", "und", "nicht", "ist"),
+    "es": ("el", "la", "los", "que", "de", "es"),
+    "fr": ("le", "la", "les", "et", "est", "une"),
+}
+ENGLISH_STOPWORDS = (
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+)
+
+
+def words(text: Column) -> Column:
+    """Whitespace tokenization, empty tokens removed."""
+    return F.filter(F.split(F.trim(text), r"\s+"), lambda w: w != "")
+
+
+def h64(c: Column) -> Column:
+    """Portable 60-bit hash (md5-prefix as bigint)."""
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count."""
+    return F.size(words(text))
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """Sub-word-ish token count: splits on word boundaries AND every 4
+    characters inside long words (a cheap BPE stand-in for budget
+    estimation; deterministic, SQL-expressible)."""
+    ws = words(text)
+    return F.aggregate(
+        ws,
+        F.lit(0).cast("long"),
+        lambda acc, w: acc + F.ceil(F.length(w) / F.lit(4.0)).cast("long"),
+    )
+
+
+def stopword_ratio(text: Column) -> Column:
+    sw = F.array([F.lit(w) for w in ENGLISH_STOPWORDS])
+    ws = words(text)
+    return F.size(F.filter(ws, lambda w: F.array_contains(sw, F.lower(w)))) / F.size(ws)
+
+
+def punct_ratio(text: Column) -> Column:
+    stripped = F.regexp_replace(text, r"[^\p{L}\p{N}\s]", "")
+    return (F.length(text) - F.length(stripped)) / F.length(text)
+
+
+def quality_score(text: Column) -> Column:
+    """Composite quality score in [0,1]: length band + low punctuation +
+    healthy stopword presence. Integer-scaled to x1000 for exact
+    cross-engine comparison."""
+    n = token_count(text)
+    len_ok = F.when((n >= 10) & (n <= 1000), F.lit(1.0)).otherwise(F.lit(0.3))
+    sw = stopword_ratio(text)
+    sw_ok = F.when((sw > 0.01) & (sw < 0.6), F.lit(1.0)).otherwise(F.lit(0.5))
+    avg_word = F.aggregate(
+        words(text), F.lit(0).cast("long"), lambda a, w: a + F.length(w)
+    ) / n
+    word_ok = F.when((avg_word >= 2) & (avg_word <= 12), F.lit(1.0)).otherwise(F.lit(0.4))
+    return F.round(len_ok * sw_ok * word_ok * 1000).cast("long")
+
+
+def lang_id(text: Column) -> Column:
+    """Heuristic language ID: CJK chars -> zh; else the language whose
+    marker-word hit count is highest (ties broken de<es<fr); fallback en."""
+    zh = F.length(F.regexp_replace(text, "[^一-鿿]", "")) > 0
+    ws = words(text)
+
+    def marker_hits(markers: tuple[str, ...]):
+        arr = F.array([F.lit(m) for m in markers])
+        return F.size(F.filter(ws, lambda w: F.array_contains(arr, F.lower(w))))
+
+    hits = {lang: marker_hits(markers) for lang, markers in LANG_MARKERS.items()}
+    best = (
+        F.when(zh, F.lit("zh"))
+        .when(
+            (hits["de"] > 0)
+            & (hits["de"] >= hits["es"])
+            & (hits["de"] >= hits["fr"]),
+            F.lit("de"),
+        )
+        .when((hits["es"] > 0) & (hits["es"] >= hits["fr"]), F.lit("es"))
+        .when(hits["fr"] > 0, F.lit("fr"))
+        .otherwise(F.lit("en"))
+    )
+    return best
+
+
+def fingerprint(text: Column) -> Column:
+    """Document fingerprint: md5 of casefolded, whitespace-normalized text.
+    (Exact-dedup key; the rolling-hash variant is h64 of the same.)"""
+    return F.md5(F.concat_ws(" ", F.transform(words(text), F.lower)))

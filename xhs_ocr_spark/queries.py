@@ -1,0 +1,804 @@
+"""Driver-contract query registry: Spark queries + DuckDB oracle SQL.
+
+Every SURVEY.md §2 operator that is SQL-expressible gets a (queries,
+oracle_sql) pair; the driver runs both at sf0.01 and compares row count,
+schema, and order-insensitive value hash. Column names/types are aligned
+on both sides by construction (explicit aliases + casts).
+
+Non-SQL-expressible entries (the stand-in OCR flagship) have no oracle —
+the driver records a rows-only check; pytest covers them against the
+pure-Python oracle instead.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from .extraction.datagen import corpus_from_documents
+from .extraction.pipeline import extract_spans_flat
+from .operators import dedup_first_wins, dedup_last_wins, related_merge, unrelated_merge
+from .operators import dedup_fuzzy as DF
+from .operators import simsearch as SS
+from .operators import textops as TX
+
+CUTOFF = "2024-01-24"  # S2 recent-date filter, fixed for determinism
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# Extraction-relational family (reference §2 operators)
+# ---------------------------------------------------------------------------
+
+
+def q_recent_filter(spark, sf):
+    """S2: partition-pruning date predicate (core/run.py:132-138)."""
+    ev = _t(spark, sf, "events")
+    return (
+        ev.where(F.col("ts") >= F.lit(CUTOFF).cast("timestamp"))
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"), F.min("event_id").alias("first_event"))
+    )
+
+
+SQL_RECENT_FILTER = f"""
+SELECT event_type, count(*) AS n, min(event_id) AS first_event
+FROM events WHERE ts >= TIMESTAMP '{CUTOFF} 00:00:00'
+GROUP BY event_type
+"""
+
+
+def q_related_merge(spark, sf):
+    """J1: full-outer related merge, last-non-empty-wins, '' fill
+    (db/data_dms.py:166-225)."""
+    ev = _t(spark, sf, "events")
+    a = (
+        ev.where(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(F.count("*").cast("string").alias("clicks"))
+    )
+    b = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.count("*").cast("string").alias("purchases"),
+            F.round(F.sum("value") * 100).cast("long").cast("string").alias("value_cents"),
+        )
+    )
+    return related_merge([a, b], ["user_id"])
+
+
+SQL_RELATED_MERGE = """
+WITH a AS (
+  SELECT user_id, CAST(count(*) AS VARCHAR) AS clicks
+  FROM events WHERE event_type = 'click' GROUP BY user_id
+), b AS (
+  SELECT user_id, CAST(count(*) AS VARCHAR) AS purchases,
+         CAST(CAST(round(sum(value) * 100) AS BIGINT) AS VARCHAR) AS value_cents
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id
+)
+SELECT coalesce(a.user_id, b.user_id) AS user_id,
+       coalesce(nullif(a.clicks, ''), '') AS clicks,
+       coalesce(nullif(b.purchases, ''), '') AS purchases,
+       coalesce(nullif(b.value_cents, ''), '') AS value_cents
+FROM a FULL OUTER JOIN b ON a.user_id = b.user_id
+"""
+
+
+def q_unrelated_merge(spark, sf):
+    """J2: union-by-name with '' fill (db/data_dms.py:228-253)."""
+    d = _t(spark, sf, "documents")
+    a = d.select(F.col("doc_id").cast("string").alias("doc_id"), F.col("lang").alias("lang"))
+    b = d.select(F.col("doc_id").cast("string").alias("doc_id"), F.col("source").alias("source"))
+    return unrelated_merge([a, b])
+
+
+SQL_UNRELATED_MERGE = """
+SELECT CAST(doc_id AS VARCHAR) AS doc_id, lang, '' AS source FROM documents
+UNION ALL
+SELECT CAST(doc_id AS VARCHAR) AS doc_id, '' AS lang, source FROM documents
+"""
+
+
+def q_dedup_first_wins(spark, sf):
+    """G7: INSERT OR IGNORE first-write-wins (db/__init__.py:110-116)."""
+    ev = _t(spark, sf, "events")
+    return dedup_first_wins(ev, ["user_id", "event_type"], "event_id").select(
+        "user_id", "event_type", "event_id"
+    )
+
+
+SQL_DEDUP_FIRST = """
+SELECT user_id, event_type, event_id FROM (
+  SELECT user_id, event_type, event_id,
+         row_number() OVER (PARTITION BY user_id, event_type ORDER BY event_id) AS rn
+  FROM events
+) WHERE rn = 1
+"""
+
+
+def q_dedup_last_wins(spark, sf):
+    """G8: upsert last-write-wins (db/data_dms.py:293-312)."""
+    ev = _t(spark, sf, "events")
+    return dedup_last_wins(ev, ["user_id", "event_type"], "event_id").select(
+        "user_id", "event_type", "event_id"
+    )
+
+
+SQL_DEDUP_LAST = """
+SELECT user_id, event_type, event_id FROM (
+  SELECT user_id, event_type, event_id,
+         row_number() OVER (PARTITION BY user_id, event_type ORDER BY event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1
+"""
+
+
+def q_mask_fallback_top1(spark, sf):
+    """J3's success-selection shape: ordered alternatives per key, first
+    passing a validation gate wins (core/run.py:375-501 as a relational
+    plan: row_number over mask_order, rn=1)."""
+    ev = _t(spark, sf, "events")
+    from pyspark.sql import Window
+
+    ok = ev.where(F.col("value") > 15)  # "OCR accepted" gate
+    w = Window.partitionBy("user_id").orderBy(F.col("event_id").asc())
+    return (
+        ok.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("user_id", "event_id", F.col("event_type").alias("winner_type"))
+    )
+
+
+SQL_MASK_FALLBACK = """
+SELECT user_id, event_id, event_type AS winner_type FROM (
+  SELECT user_id, event_id, event_type,
+         row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
+  FROM events WHERE value > 15
+) WHERE rn = 1
+"""
+
+
+def q_arity_gate(spark, sf):
+    """F7/F8: arity validation — keep docs whose token count % 8 == 0
+    (the traffic-analysis 8-text gate, core/run.py:478-490)."""
+    d = _t(spark, sf, "documents")
+    n = TX.token_count(F.col("text"))
+    return d.select("doc_id", n.alias("n_tokens")).where(F.col("n_tokens") % 8 == 0)
+
+
+SQL_ARITY_GATE = r"""
+SELECT doc_id, len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens
+FROM documents
+WHERE len(regexp_split_to_array(trim(text), '\s+')) % 8 = 0
+"""
+
+
+def q_normalize_chain(spark, sf):
+    """X5-X7: the exact replace chain over synthesized OCR-ish strings
+    (core/run.py:468-476)."""
+    d = _t(spark, sf, "documents")
+    raw = F.concat(F.lit("<b>曝光数 "), F.substring("text", 1, 20), F.lit(" 5o秒</b>"))
+    from .functions import normalize_ocr_col
+
+    return d.select(
+        "doc_id",
+        normalize_ocr_col(raw, F.lit("note_data_overview_top"), F.lit("xhs")).alias("normalized"),
+    )
+
+
+SQL_NORMALIZE_CHAIN = """
+SELECT doc_id,
+  replace(replace(replace(replace(replace(
+    regexp_replace('<b>曝光数 ' || substr(text, 1, 20) || ' 5o秒</b>', '[一-鿿]+', '', 'g'),
+    '秒', ''), ' ', ''), 'o', '0'), '<b>', ''), '</b>', '') AS normalized
+FROM documents
+"""
+
+
+def q_chinese_number(spark, sf):
+    """X8: chinese-number conversion over derived strings
+    (core/run.py:679-690)."""
+    d = _t(spark, sf, "documents")
+    from .functions import chinese_number_to_long
+
+    s = F.when(
+        F.col("n_chars") >= 300, F.concat(F.round(F.col("n_chars") / 10000.0, 2).cast("string"), F.lit("万"))
+    ).otherwise(F.col("n_chars").cast("string"))
+    return d.select("doc_id", s.alias("raw"), chinese_number_to_long(s).alias("converted"))
+
+
+SQL_CHINESE_NUMBER = """
+WITH s AS (
+  SELECT doc_id,
+         CASE WHEN n_chars >= 300
+              THEN CAST(round(n_chars / 10000.0, 2) AS VARCHAR) || '万'
+              ELSE CAST(n_chars AS VARCHAR) END AS raw
+  FROM documents
+)
+SELECT doc_id, raw,
+       CASE WHEN raw LIKE '%万%' AND regexp_extract(raw, '([0-9.]+)', 1) <> ''
+            THEN CAST(CAST(floor(CAST(regexp_extract(raw, '([0-9.]+)', 1) AS DOUBLE) * 10000) AS BIGINT) AS VARCHAR)
+            ELSE raw END AS converted
+FROM s
+"""
+
+
+def q_label_value_pairing(spark, sf):
+    """X9: stride-2 label:value pairing of the first 8 tokens
+    (core/run.py:479-483)."""
+    d = _t(spark, sf, "documents")
+    ws = TX.words(F.col("text"))
+    first8 = F.slice(ws, 1, 8)
+    from .functions import label_value_pairs
+
+    return d.where(F.size(ws) >= 8).select("doc_id", label_value_pairs(first8).alias("paired"))
+
+
+SQL_LABEL_VALUE = r"""
+WITH w AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents
+)
+SELECT doc_id,
+       ws[1] || ':' || ws[2] || '|' || ws[3] || ':' || ws[4] || '|' ||
+       ws[5] || ':' || ws[6] || '|' || ws[7] || ':' || ws[8] AS paired
+FROM w WHERE len(ws) >= 8
+"""
+
+
+def q_content_type(spark, sf):
+    """X10/X11: tag digit strip + content-type derivation
+    (core/run.py:504-509)."""
+    d = _t(spark, sf, "documents")
+    from .functions import clean_tag, content_type_col
+
+    tag = F.concat(
+        F.when(F.col("doc_id") % 2 == 0, F.lit("video_data_overview")).otherwise(
+            F.lit("note_data_overview")
+        ),
+        (F.col("doc_id") % 10).cast("string"),
+    )
+    return d.select(
+        "doc_id",
+        clean_tag(tag).alias("tag"),
+        content_type_col(tag, F.lit("xhs")).alias("content_type"),
+    )
+
+
+SQL_CONTENT_TYPE = """
+WITH t AS (
+  SELECT doc_id,
+         (CASE WHEN doc_id % 2 = 0 THEN 'video_data_overview' ELSE 'note_data_overview' END)
+           || CAST(doc_id % 10 AS VARCHAR) AS tag
+  FROM documents
+)
+SELECT doc_id, regexp_replace(tag, '[0-9]+', '', 'g') AS tag,
+       CASE WHEN tag LIKE '%video%' THEN 'video' ELSE 'note' END AS content_type
+FROM t
+"""
+
+
+def q_merge_pipeline(spark, sf):
+    """J5: the 4-stage merge DAG (db/pipeline.py:8-76) over six per-type
+    event aggregates, related key = user_id."""
+    ev = _t(spark, sf, "events")
+
+    def agg_tbl(etype: str, col: str) -> DataFrame:
+        return (
+            ev.where(F.col("event_type") == etype)
+            .groupBy(F.col("user_id").alias("user_id"))
+            .agg(F.count("*").cast("string").alias(col))
+        )
+
+    from .plans import run_merge_pipeline
+
+    return run_merge_pipeline(
+        video_top=agg_tbl("click", "exposure"),
+        video_bottom=agg_tbl("view", "likes"),
+        note_top=agg_tbl("signup", "exposure"),
+        note_bottom=agg_tbl("error", "likes"),
+        note_traffic=agg_tbl("purchase", "source_homepage"),
+        video_traffic=agg_tbl("click", "source_homepage"),
+        keys=["user_id"],
+    )
+
+
+SQL_MERGE_PIPELINE = """
+WITH vt AS (SELECT user_id, CAST(count(*) AS VARCHAR) AS exposure FROM events WHERE event_type='click' GROUP BY user_id),
+     vb AS (SELECT user_id, CAST(count(*) AS VARCHAR) AS likes FROM events WHERE event_type='view' GROUP BY user_id),
+     nt AS (SELECT user_id, CAST(count(*) AS VARCHAR) AS exposure FROM events WHERE event_type='signup' GROUP BY user_id),
+     nb AS (SELECT user_id, CAST(count(*) AS VARCHAR) AS likes FROM events WHERE event_type='error' GROUP BY user_id),
+     ntr AS (SELECT user_id, CAST(count(*) AS VARCHAR) AS source_homepage FROM events WHERE event_type='purchase' GROUP BY user_id),
+     vtr AS (SELECT user_id, CAST(count(*) AS VARCHAR) AS source_homepage FROM events WHERE event_type='click' GROUP BY user_id),
+     video_overview AS (
+       SELECT coalesce(vt.user_id, vb.user_id) AS user_id,
+              coalesce(nullif(vt.exposure,''),'') AS exposure,
+              coalesce(nullif(vb.likes,''),'') AS likes
+       FROM vt FULL OUTER JOIN vb ON vt.user_id = vb.user_id),
+     note_overview AS (
+       SELECT coalesce(nt.user_id, nb.user_id) AS user_id,
+              coalesce(nullif(nt.exposure,''),'') AS exposure,
+              coalesce(nullif(nb.likes,''),'') AS likes
+       FROM nt FULL OUTER JOIN nb ON nt.user_id = nb.user_id),
+     data_overview AS (
+       SELECT * FROM note_overview UNION ALL SELECT * FROM video_overview),
+     traffic AS (
+       SELECT user_id, source_homepage FROM ntr UNION ALL SELECT user_id, source_homepage FROM vtr),
+     final AS (
+       SELECT coalesce(d.user_id, t.user_id) AS user_id,
+              coalesce(nullif(d.exposure,''),'') AS exposure,
+              coalesce(nullif(d.likes,''),'') AS likes,
+              coalesce(nullif(t.source_homepage,''),'') AS source_homepage
+       FROM data_overview d FULL OUTER JOIN traffic t ON d.user_id = t.user_id)
+SELECT * FROM final
+"""
+
+
+def q_span_reorder(spark, sf):
+    """O7 + the text route: chunk text into spans, drop empties, restore
+    order by offset, reassemble (window/group semantics on real data)."""
+    docs = corpus_from_documents(_t(spark, sf, "documents"))
+    flat = docs.select("doc_id", F.explode("spans").alias("s")).select(
+        "doc_id", F.col("s.kind").alias("kind"), F.col("s.text").alias("text"), F.col("s.offset").alias("offset")
+    )
+    text_spans = flat.where((F.col("kind") == "text") & (F.col("text") != ""))
+    return (
+        text_spans.groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("offset", "text"))),
+                    lambda s: s["text"],
+                ),
+                " ",
+            ).alias("reassembled")
+        )
+        .select(F.col("doc_id").cast("long").alias("doc_id"), "reassembled")
+    )
+
+
+SQL_SPAN_REORDER = r"""
+WITH w AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents
+), chunks AS (
+  SELECT doc_id,
+         unnest(list_transform(
+           generate_series(0, CAST(ceil(len(ws)/7.0) AS BIGINT) - 1),
+           g -> struct_pack(off := g, chunk := array_to_string(ws[(g*7+1):(g*7+7)], ' '))
+         )) AS s
+  FROM w
+), spans AS (
+  SELECT doc_id, s.off AS off, s.chunk AS chunk
+  FROM chunks WHERE s.off % 3 <> 2 AND s.chunk <> ''
+)
+SELECT doc_id, string_agg(chunk, ' ' ORDER BY off) AS reassembled
+FROM spans GROUP BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Aggregation / join family (engine breadth; G9 metrics analog)
+# ---------------------------------------------------------------------------
+
+
+def q_count_metrics(spark, sf):
+    """G9: per-group row counts + stats (db/data_dms.py:104-130)."""
+    d = _t(spark, sf, "documents")
+    return d.groupBy("source", "lang").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg("n_chars")).cast("long").alias("avg_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
+
+
+SQL_COUNT_METRICS = """
+SELECT source, lang, count(*) AS n_docs,
+       CAST(round(avg(n_chars)) AS BIGINT) AS avg_chars,
+       max(n_chars) AS max_chars
+FROM documents GROUP BY source, lang
+"""
+
+
+def q_lineitem_agg(spark, sf):
+    """TPC-H Q1-shaped partial-aggregatable group agg."""
+    li = _t(spark, sf, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity") * 100).cast("long").alias("sum_qty_x100"),
+            F.round(F.sum("l_extendedprice") * 100).cast("long").alias("sum_price_x100"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+SQL_LINEITEM_AGG = """
+SELECT l_returnflag, l_linestatus,
+       CAST(round(sum(l_quantity) * 100) AS BIGINT) AS sum_qty_x100,
+       CAST(round(sum(l_extendedprice) * 100) AS BIGINT) AS sum_price_x100,
+       count(*) AS count_order
+FROM lineitem WHERE l_shipdate <= DATE '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_join_revenue(spark, sf):
+    """Broadcast-dim star join: revenue per nation."""
+    o = _t(spark, sf, "orders")
+    c = _t(spark, sf, "customer")
+    n = _t(spark, sf, "nation")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum("o_totalprice") * 100).cast("long").alias("revenue_x100"),
+            F.count("*").alias("n_orders"),
+        )
+    )
+
+
+SQL_JOIN_REVENUE = """
+SELECT n_name,
+       CAST(round(sum(o_totalprice) * 100) AS BIGINT) AS revenue_x100,
+       count(*) AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+def q_window_topk(spark, sf):
+    """Window top-k: 3 highest-value orders per order priority."""
+    o = _t(spark, sf, "orders")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        o.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select("o_orderpriority", F.col("rank").cast("long").alias("rank"), "o_orderkey")
+    )
+
+
+SQL_WINDOW_TOPK = """
+SELECT o_orderpriority, CAST(rank AS BIGINT) AS rank, o_orderkey FROM (
+  SELECT o_orderpriority, o_orderkey,
+         row_number() OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rank
+  FROM orders
+) WHERE rank <= 3
+"""
+
+
+# ---------------------------------------------------------------------------
+# Training-data pipeline family
+# ---------------------------------------------------------------------------
+
+
+def q_token_stats(spark, sf):
+    d = _t(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        TX.token_count(F.col("text")).cast("long").alias("n_tokens"),
+        TX.bpe_ish_token_count(F.col("text")).alias("n_subtokens"),
+    )
+
+
+SQL_TOKEN_STATS = r"""
+WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents)
+SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_tokens,
+       CAST(list_sum(list_transform(ws, x -> CAST(ceil(length(x)/4.0) AS BIGINT))) AS BIGINT) AS n_subtokens
+FROM w
+"""
+
+
+def q_quality_score(spark, sf):
+    d = _t(spark, sf, "documents")
+    return d.select("doc_id", TX.quality_score(F.col("text")).alias("quality_x1000"))
+
+
+SQL_QUALITY_SCORE = r"""
+WITH w AS (
+  SELECT doc_id, text, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents
+), m AS (
+  SELECT doc_id,
+         len(ws) AS n,
+         len(list_filter(ws, x -> list_contains(['the','a','an','and','or','of','to','in','is','it'], lower(x)))) / CAST(len(ws) AS DOUBLE) AS sw,
+         list_sum(list_transform(ws, x -> length(x))) / CAST(len(ws) AS DOUBLE) AS avg_word
+  FROM w
+)
+SELECT doc_id,
+  CAST(round(
+    (CASE WHEN n BETWEEN 10 AND 1000 THEN 1.0 ELSE 0.3 END) *
+    (CASE WHEN sw > 0.01 AND sw < 0.6 THEN 1.0 ELSE 0.5 END) *
+    (CASE WHEN avg_word >= 2 AND avg_word <= 12 THEN 1.0 ELSE 0.4 END) * 1000
+  ) AS BIGINT) AS quality_x1000
+FROM m
+"""
+
+
+def q_lang_id(spark, sf):
+    d = _t(spark, sf, "documents")
+    return d.select("doc_id", TX.lang_id(F.col("text")).alias("lang_guess"))
+
+
+SQL_LANG_ID = r"""
+WITH w AS (
+  SELECT doc_id, text, list_transform(regexp_split_to_array(trim(text), '\s+'), x -> lower(x)) AS ws
+  FROM documents
+), m AS (
+  SELECT doc_id,
+         length(regexp_replace(text, '[^一-鿿]', '', 'g')) > 0 AS zh,
+         len(list_filter(ws, x -> list_contains(['der','die','das','und','nicht','ist'], x))) AS de,
+         len(list_filter(ws, x -> list_contains(['el','la','los','que','de','es'], x))) AS es,
+         len(list_filter(ws, x -> list_contains(['le','la','les','et','est','une'], x))) AS fr
+  FROM w
+)
+SELECT doc_id,
+  CASE WHEN zh THEN 'zh'
+       WHEN de > 0 AND de >= es AND de >= fr THEN 'de'
+       WHEN es > 0 AND es >= fr THEN 'es'
+       WHEN fr > 0 THEN 'fr'
+       ELSE 'en' END AS lang_guess
+FROM m
+"""
+
+
+def q_fingerprint(spark, sf):
+    d = _t(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        TX.fingerprint(F.col("text")).alias("fp"),
+        TX.h64(F.col("text")).alias("rolling_h64"),
+    )
+
+
+SQL_FINGERPRINT = r"""
+WITH w AS (SELECT doc_id, text, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents)
+SELECT doc_id,
+       md5(array_to_string(list_transform(ws, x -> lower(x)), ' ')) AS fp,
+       CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT) AS rolling_h64
+FROM w
+"""
+
+
+def q_minhash_signature(spark, sf):
+    d = _t(spark, sf, "documents")
+    sig = DF.minhash_signature(F.col("text"))
+    return d.select("doc_id", F.array_join(sig, ",").alias("signature"))
+
+
+SQL_MINHASH = r"""
+WITH w AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents
+), sh AS (
+  SELECT doc_id,
+         list_transform(generate_series(1, greatest(len(ws) - 2, 1)),
+                        i -> array_to_string(ws[i:(i+2)], ' ')) AS shingles
+  FROM w
+)
+SELECT doc_id,
+       array_to_string(
+         list_transform(generate_series(0, 7),
+                        i -> list_min(list_transform(shingles,
+                               s -> substr(md5(CAST(i // 4 AS VARCHAR) || '|' || s), (i % 4) * 8 + 1, 8)))),
+         ',') AS signature
+FROM sh
+"""
+
+
+def q_lsh_pairs(spark, sf):
+    d = _t(spark, sf, "documents")
+    return DF.lsh_candidate_pairs(d, "doc_id", "text")
+
+
+SQL_LSH_PAIRS = r"""
+WITH w AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents
+), sh AS (
+  SELECT doc_id,
+         list_transform(generate_series(1, greatest(len(ws) - 2, 1)),
+                        i -> array_to_string(ws[i:(i+2)], ' ')) AS shingles
+  FROM w
+), sig AS (
+  SELECT doc_id,
+         list_transform(generate_series(0, 7),
+                        i -> list_min(list_transform(shingles,
+                               s -> substr(md5(CAST(i // 4 AS VARCHAR) || '|' || s), (i % 4) * 8 + 1, 8)))) AS sg
+  FROM sh
+), bands AS (
+  SELECT doc_id, unnest(
+    list_transform(generate_series(0, 3),
+                   b -> md5(CAST(b AS VARCHAR) || '#' || array_to_string(sg[(b*2+1):(b*2+2)], ',')))) AS band
+  FROM sig
+)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id
+"""
+
+
+def q_simhash(spark, sf):
+    d = _t(spark, sf, "documents")
+    return d.select("doc_id", DF.simhash(F.col("text"), bits=16).alias("simhash16"))
+
+
+SQL_SIMHASH = r"""
+WITH w AS (
+  SELECT doc_id,
+         list_transform(regexp_split_to_array(trim(text), '\s+'),
+                        x -> CAST(('0x' || substr(md5(x), 1, 15)) AS BIGINT)) AS hs
+  FROM documents
+)
+SELECT doc_id,
+  CAST(list_sum(list_transform(generate_series(0, 15), j ->
+    CASE WHEN list_sum(list_transform(hs, h ->
+           CASE WHEN (h // CAST(pow(2, j) AS BIGINT)) % 2 = 1 THEN 1 ELSE -1 END)) > 0
+         THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END)) AS BIGINT) AS simhash16
+FROM w
+"""
+
+
+def q_ngram_jaccard(spark, sf):
+    d = _t(spark, sf, "documents")
+    return DF.ngram_jaccard_pairs(d, "doc_id", "text", threshold=0.12, scope_col="lang")
+
+
+SQL_NGRAM_JACCARD = r"""
+WITH w AS (
+  SELECT doc_id, lang, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents
+), sh AS (
+  SELECT doc_id, lang, unnest(list_distinct(
+    list_transform(generate_series(1, greatest(len(ws) - 2, 1)),
+                   i -> array_to_string(ws[i:(i+2)], ' ')))) AS sh
+  FROM w
+), sizes AS (
+  SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.lang = b.lang AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT id_a, id_b,
+       CAST(round(inter / CAST(sa.sz + sb.sz - inter AS DOUBLE) * 1000) AS BIGINT) AS jacc_x1000
+FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+WHERE inter / CAST(sa.sz + sb.sz - inter AS DOUBLE) >= 0.12
+"""
+
+
+def q_cosine_topk(spark, sf):
+    e = _t(spark, sf, "embeddings")
+    return SS.cosine_topk(e, e.where(F.col("vec_id") < 10), k=3)
+
+
+SQL_COSINE_TOPK = """
+WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id < 10),
+     scored AS (
+       SELECT q.q_id, c.vec_id AS n_id,
+              list_cosine_similarity(q.q_vec, c.embedding) AS cos
+       FROM q, embeddings c WHERE c.vec_id <> q.q_id
+     )
+SELECT q_id, n_id, CAST(rank AS BIGINT) AS rank FROM (
+  SELECT q_id, n_id, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank
+  FROM scored
+) WHERE rank <= 3
+"""
+
+
+def q_embedding_neardup(spark, sf):
+    """LSH-bucketed near-duplicate pairs over embeddings."""
+    e = _t(spark, sf, "embeddings")
+    return SS.lsh_near_neighbors(e, dim=64, n_planes=4, min_cos=0.2)
+
+
+def _sql_embedding_neardup() -> str:
+    planes = [SS.hyperplane(64, p) for p in range(4)]
+    plane_sql = ", ".join(
+        f"list_dot_product(embedding, {pl}) > 0" for pl in planes
+    )
+    bucket = " + ".join(
+        f"(CASE WHEN list_dot_product(embedding, {pl}) > 0 THEN {2**p} ELSE 0 END)"
+        for p, pl in enumerate(planes)
+    )
+    return f"""
+WITH b AS (
+  SELECT vec_id AS id, embedding AS vec, CAST({bucket} AS BIGINT) AS bucket
+  FROM embeddings
+)
+SELECT DISTINCT a.id AS id_a, b2.id AS id_b
+FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.id < b2.id
+WHERE list_cosine_similarity(a.vec, b2.vec) >= 0.2
+"""
+
+
+# ---------------------------------------------------------------------------
+# Flagship (non-SQL-expressible: stand-in OCR inside mapInPandas)
+# ---------------------------------------------------------------------------
+
+
+def q_extract_flagship(spark, sf):
+    """Full interleaved extraction over a corpus derived from documents:
+    media route (mapInPandas OCR) + text route + offset re-merge.
+    No SQL oracle (engine semantics live in Python); pytest checks it
+    against the reference oracle instead."""
+    docs = corpus_from_documents(_t(spark, sf, "documents"))
+    return extract_spans_flat(docs)
+
+
+# ---------------------------------------------------------------------------
+# Registry
+# ---------------------------------------------------------------------------
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {
+        "q01_recent_filter": q_recent_filter,
+        "q02_related_merge": q_related_merge,
+        "q03_unrelated_merge": q_unrelated_merge,
+        "q04_dedup_first_wins": q_dedup_first_wins,
+        "q05_dedup_last_wins": q_dedup_last_wins,
+        "q06_mask_fallback_top1": q_mask_fallback_top1,
+        "q07_arity_gate": q_arity_gate,
+        "q08_normalize_chain": q_normalize_chain,
+        "q09_chinese_number": q_chinese_number,
+        "q10_label_value_pairing": q_label_value_pairing,
+        "q11_content_type": q_content_type,
+        "q12_merge_pipeline": q_merge_pipeline,
+        "q13_span_reorder": q_span_reorder,
+        "q14_count_metrics": q_count_metrics,
+        "q15_lineitem_agg": q_lineitem_agg,
+        "q16_join_revenue": q_join_revenue,
+        "q17_window_topk": q_window_topk,
+        "q20_token_stats": q_token_stats,
+        "q21_quality_score": q_quality_score,
+        "q22_lang_id": q_lang_id,
+        "q23_fingerprint": q_fingerprint,
+        "q24_minhash_signature": q_minhash_signature,
+        "q25_lsh_pairs": q_lsh_pairs,
+        "q26_simhash": q_simhash,
+        "q27_ngram_jaccard": q_ngram_jaccard,
+        "q28_cosine_topk": q_cosine_topk,
+        "q29_embedding_neardup": q_embedding_neardup,
+        "q30_extract_flagship": q_extract_flagship,
+    }
+
+
+def oracle_sql() -> dict[str, str]:
+    return {
+        "q01_recent_filter": SQL_RECENT_FILTER,
+        "q02_related_merge": SQL_RELATED_MERGE,
+        "q03_unrelated_merge": SQL_UNRELATED_MERGE,
+        "q04_dedup_first_wins": SQL_DEDUP_FIRST,
+        "q05_dedup_last_wins": SQL_DEDUP_LAST,
+        "q06_mask_fallback_top1": SQL_MASK_FALLBACK,
+        "q07_arity_gate": SQL_ARITY_GATE,
+        "q08_normalize_chain": SQL_NORMALIZE_CHAIN,
+        "q09_chinese_number": SQL_CHINESE_NUMBER,
+        "q10_label_value_pairing": SQL_LABEL_VALUE,
+        "q11_content_type": SQL_CONTENT_TYPE,
+        "q12_merge_pipeline": SQL_MERGE_PIPELINE,
+        "q13_span_reorder": SQL_SPAN_REORDER,
+        "q14_count_metrics": SQL_COUNT_METRICS,
+        "q15_lineitem_agg": SQL_LINEITEM_AGG,
+        "q16_join_revenue": SQL_JOIN_REVENUE,
+        "q17_window_topk": SQL_WINDOW_TOPK,
+        "q20_token_stats": SQL_TOKEN_STATS,
+        "q21_quality_score": SQL_QUALITY_SCORE,
+        "q22_lang_id": SQL_LANG_ID,
+        "q23_fingerprint": SQL_FINGERPRINT,
+        "q24_minhash_signature": SQL_MINHASH,
+        "q25_lsh_pairs": SQL_LSH_PAIRS,
+        "q26_simhash": SQL_SIMHASH,
+        "q27_ngram_jaccard": SQL_NGRAM_JACCARD,
+        "q28_cosine_topk": SQL_COSINE_TOPK,
+        "q29_embedding_neardup": _sql_embedding_neardup(),
+        # q30_extract_flagship: intentionally no oracle (rows-only check)
+    }
