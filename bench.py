@@ -47,22 +47,24 @@ BENCH_QUERIES = [
 
 
 def amplified_corpus(spark, sf_dir: str, replicate: int):
-    """Derive the interleaved corpus and replicate it with distinct doc_ids
-    (deterministic; replica index becomes a doc_id suffix)."""
-    docs = corpus_from_documents(spark.read.parquet(f"{sf_dir}/documents.parquet"))
-    if replicate <= 1:
-        return docs
-    reps = spark.range(replicate).select(F.col("id").alias("rep"))
-    return docs.crossJoin(reps).select(
-        F.concat_ws("#", "doc_id", "rep").alias("doc_id"),
-        F.expr(
-            "transform(spans, s -> named_struct("
-            "'kind', s.kind, 'text', s.text, "
-            "'media_ref', case when s.media_ref = '' then '' "
-            "  else concat(s.media_ref, '?rep=', cast(rep as string)) end, "
-            "'offset', s.offset))"
-        ).alias("spans"),
+    """Derive the interleaved corpus, replicated with distinct doc_ids.
+
+    Order matters for scale: replicate + repartition the RAW (doc_id,
+    text) rows first, and only then derive the span arrays — the sf
+    parquet is one file (one scan partition), and deriving spans before
+    the exchange would funnel every document through a single task (a
+    measured ~30s serial head that capped scaling efficiency at 0.38)."""
+    raw = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text"
     )
+    parts = spark.sparkContext.defaultParallelism * 2
+    if replicate > 1:
+        reps = spark.range(replicate).select(F.col("id").alias("rep"))
+        raw = raw.crossJoin(reps).select(
+            F.concat_ws("#", "doc_id", "rep").alias("doc_id"), "text"
+        )
+    spread = raw.repartition(parts, "doc_id")
+    return corpus_from_documents(spread)
 
 
 def main() -> None:

@@ -111,8 +111,11 @@ def classify_text_route(flat_text: DataFrame) -> DataFrame:
     """Vectorized boilerplate classifier — mirror of
     semantics.classify_text_span using only built-in column functions."""
     words = F.filter(F.split(F.col("text"), r"\s+"), lambda w: w != "")
-    boiler = F.array([F.lit(t) for t in sorted(BOILERPLATE_TOKENS)])
-    hits = F.size(F.filter(words, lambda w: F.array_contains(boiler, w)))
+    # NB: .isin compiles to a static InSet; an F.array(...) literal here
+    # would be re-allocated on EVERY lambda invocation (per word) in
+    # interpreted HOF evaluation — measured as a GC-bound serial ceiling
+    boiler = sorted(BOILERPLATE_TOKENS)
+    hits = F.size(F.filter(words, lambda w: w.isin(boiler)))
     ratio = hits / F.size(words)
     return (
         flat_text.withColumn("__words", words)

@@ -29,29 +29,37 @@ def shingles(text_col, n: int = DEFAULT_SHINGLE):
     return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(ws, i, n)))
 
 
-def minhash_signature(text_col, k: int = DEFAULT_HASHES, n: int = DEFAULT_SHINGLE):
-    """array<string> of k minhashes.
-
-    Hash family: minhash i = min over shingles of the i%4-th 8-hex-char
-    chunk of md5('<i//4>|' || shingle) — four 32-bit hash functions per
-    md5 evaluation (4x fewer digests than one-md5-per-i; md5 dominates the
-    signature cost). Min over hex strings == min over the uniform hash
-    values, and the construction is engine-portable (DuckDB twin in
-    queries.py)."""
+def hashed_shingles(text_col, k: int = DEFAULT_HASHES, n: int = DEFAULT_SHINGLE):
+    """array<string>: per shingle, the concatenation of ceil(k/4) md5
+    digests (md5('<g>|' || shingle) for g = 0..). Each 8-hex-char chunk is
+    one 32-bit hash function — k functions from k/4 digests; md5 dominates
+    signature cost, so this is the thing to compute exactly once."""
     sh = shingles(text_col, n)
+    groups = (k + 3) // 4
+    return F.transform(
+        sh,
+        lambda s: F.concat(
+            *[F.md5(F.concat(F.lit(f"{g}|"), s)) for g in range(groups)]
+        ),
+    )
 
-    def mh(i: int):
-        grp, chunk = divmod(i, 4)
-        return F.array_min(
-            F.transform(
-                sh,
-                lambda s: F.substring(
-                    F.md5(F.concat(F.lit(str(grp)), F.lit("|"), s)), chunk * 8 + 1, 8
-                ),
-            )
-        )
 
-    return F.array([mh(i) for i in range(k)])
+def signature_from_hashed(hs_col, k: int = DEFAULT_HASHES):
+    """minhash i = min over shingles of hex chunk [i*8+1, i*8+8]."""
+    return F.array(
+        [
+            F.array_min(F.transform(hs_col, lambda h: F.substring(h, i * 8 + 1, 8)))
+            for i in range(k)
+        ]
+    )
+
+
+def minhash_signature(text_col, k: int = DEFAULT_HASHES, n: int = DEFAULT_SHINGLE):
+    """array<string> of k minhashes (engine-portable; DuckDB twin in
+    queries.py). Equivalent to signature_from_hashed(hashed_shingles(...));
+    when composing with banding, stage hashed_shingles behind an exchange
+    so the md5 work isn't re-inlined per consumer (see lsh_candidate_pairs)."""
+    return signature_from_hashed(hashed_shingles(text_col, k, n), k)
 
 
 def band_keys(sig_col, bands: int = DEFAULT_BANDS, k: int = DEFAULT_HASHES):
@@ -104,21 +112,24 @@ def lsh_candidate_pairs(
     expression tree is never duplicated across join sides. Oversized
     buckets (hot bands) are truncated defensively at 1000 members —
     anything that size is a degenerate band (all-identical docs)."""
-    # two exchanges around the signature, both over tiny rows:
+    # two exchanges around the md5 work, both over small rows:
     # - BEFORE: spread input across cores (a low-partition parquet scan
-    #   would otherwise compute every signature on one task),
-    # - AFTER: materialization barrier so Catalyst can't inline the whole
-    #   minhash expression tree into EVERY band slice (bands× recompute —
-    #   measured 4x wall time without it).
+    #   would otherwise hash every document on one task),
+    # - AFTER: materialization barrier so Catalyst can't inline the md5
+    #   expression tree into every downstream consumer (each band slice /
+    #   signature chunk would recompute it — measured 4-10x wall time).
     parts = df.sparkSession.sparkContext.defaultParallelism * 2
-    sig_mat = (
+    hs_mat = (
         df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__text"))
         .repartition(parts, "id")
-        .select("id", minhash_signature(F.col("__text"), k, n).alias("sig"))
+        .select("id", hashed_shingles(F.col("__text"), k, n).alias("hs"))
         .repartition(parts, "id")
     )
-    sig = sig_mat.select(
-        "id", F.explode(band_keys(F.col("sig"), bands, k)).alias("band")
+    sig = hs_mat.select(
+        "id",
+        F.explode(
+            band_keys(signature_from_hashed(F.col("hs"), k), bands, k)
+        ).alias("band"),
     )
     buckets = (
         sig.groupBy("band")

@@ -1,0 +1,3 @@
+"""Structured Streaming surface."""
+
+from .incremental import incremental_extraction_stream, windowed_event_counts  # noqa: F401
