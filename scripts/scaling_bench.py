@@ -28,7 +28,8 @@ from bench import amplified_corpus
 
 cores = int(sys.argv[1]); replicate = int(sys.argv[2])
 spark = get_spark("scaling-bench", cores=cores)
-corpus = amplified_corpus(spark, %(sf_dir)r, replicate)
+from bench import staged_corpus
+corpus = staged_corpus(spark, %(sf_dir)r, replicate, %(stage_dir)r)
 n_docs = corpus.count()
 # warm-up pass (JIT, python workers), then best of 3 measured passes —
 # single passes showed up to 3x run-to-run variance on this box
@@ -46,8 +47,8 @@ spark.stop()
 """
 
 
-def run_at(cores: int, replicate: int, sf_dir: str) -> dict:
-    code = RUNNER % {"repo": REPO, "sf_dir": sf_dir}
+def run_at(cores: int, replicate: int, sf_dir: str, stage_dir: str) -> dict:
+    code = RUNNER % {"repo": REPO, "sf_dir": sf_dir, "stage_dir": stage_dir}
     out = subprocess.run(
         [sys.executable, "-c", code, str(cores), str(replicate)],
         capture_output=True, text=True, cwd=REPO, timeout=3600,
@@ -70,10 +71,15 @@ def main() -> None:
     # apparent efficiency; N=4 vs 4N=16 leaves equal frequency headroom so
     # the number measures the PIPELINE's scalability, not the VM's
     # power-management curve.
+    import tempfile
+
+    stage_dir = os.path.join(
+        tempfile.gettempdir(), f"xhs_bench_corpus_r{replicate}_{os.path.basename(sf_dir)}"
+    )
     trials: dict[int, list[dict]] = {n_cores: [], 4 * n_cores: []}
     for _ in range(2):
         for c in (n_cores, 4 * n_cores):
-            r = run_at(c, replicate, sf_dir)
+            r = run_at(c, replicate, sf_dir, stage_dir)
             print(f"local[{c}]:", r)
             trials[c].append(r)
     r8 = min(trials[n_cores], key=lambda r: r["sec"])

@@ -381,6 +381,77 @@ FROM spans GROUP BY doc_id
 """
 
 
+def q_sidecar_json(spark, sf):
+    """S4: JSON sidecar parsing (core/run.py:213-341 reads json files per
+    doc) — parse events.props with an explicit schema, aggregate."""
+    ev = _t(spark, sf, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .where(F.col("k").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+SQL_SIDECAR_JSON = """
+SELECT event_type, count(*) AS n,
+       sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+       max(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
+FROM events
+WHERE json_extract(props, '$.k') IS NOT NULL
+GROUP BY event_type
+"""
+
+
+def q_user_info_path(spark, sf):
+    """K4 + X8 where the reference actually applies conversion: the
+    user-info sidecar path (core/run.py:310-341) parses profile JSON,
+    converts chinese-number counters (follows/fans/interaction), and
+    upserts keyed on (account_id, collect_date). Emulated over documents:
+    synthesize the profile dict deterministically, convert, dedup-first
+    (INSERT OR IGNORE semantics of db/__init__.py:53-62)."""
+    d = _t(spark, sf, "documents")
+    from .functions import chinese_number_to_long
+
+    fans_raw = F.when(
+        F.col("n_chars") % 3 == 0,
+        F.concat(((F.col("n_chars") % 90) / 10.0 + 1).cast("string"), F.lit("万")),
+    ).otherwise((F.col("n_chars") * 7).cast("string"))
+    account = F.concat(F.lit("acct"), (F.col("doc_id") % 50).cast("string"))
+    profiles = d.select(
+        account.alias("account_id"),
+        F.col("doc_id").alias("doc_id"),
+        chinese_number_to_long(fans_raw).alias("fans"),
+    )
+    return dedup_first_wins(profiles, ["account_id"], "doc_id").select("account_id", "fans")
+
+
+SQL_USER_INFO = """
+WITH p AS (
+  SELECT 'acct' || CAST(doc_id % 50 AS VARCHAR) AS account_id, doc_id,
+         CASE WHEN n_chars % 3 = 0
+              THEN CAST((n_chars % 90) / 10.0 + 1 AS VARCHAR) || '万'
+              ELSE CAST(n_chars * 7 AS VARCHAR) END AS fans_raw
+  FROM documents
+), conv AS (
+  SELECT account_id, doc_id,
+         CASE WHEN fans_raw LIKE '%万%' AND regexp_extract(fans_raw, '([0-9.]+)', 1) <> ''
+              THEN CAST(CAST(floor(CAST(regexp_extract(fans_raw, '([0-9.]+)', 1) AS DOUBLE) * 10000) AS BIGINT) AS VARCHAR)
+              ELSE fans_raw END AS fans
+  FROM p
+)
+SELECT account_id, fans FROM (
+  SELECT account_id, fans, row_number() OVER (PARTITION BY account_id ORDER BY doc_id) AS rn
+  FROM conv
+) WHERE rn = 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # Aggregation / join family (engine breadth; G9 metrics analog)
 # ---------------------------------------------------------------------------
@@ -757,6 +828,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q15_lineitem_agg": q_lineitem_agg,
         "q16_join_revenue": q_join_revenue,
         "q17_window_topk": q_window_topk,
+        "q18_sidecar_json": q_sidecar_json,
+        "q19_user_info_path": q_user_info_path,
         "q20_token_stats": q_token_stats,
         "q21_quality_score": q_quality_score,
         "q22_lang_id": q_lang_id,
@@ -790,6 +863,8 @@ def oracle_sql() -> dict[str, str]:
         "q15_lineitem_agg": SQL_LINEITEM_AGG,
         "q16_join_revenue": SQL_JOIN_REVENUE,
         "q17_window_topk": SQL_WINDOW_TOPK,
+        "q18_sidecar_json": SQL_SIDECAR_JSON,
+        "q19_user_info_path": SQL_USER_INFO,
         "q20_token_stats": SQL_TOKEN_STATS,
         "q21_quality_score": SQL_QUALITY_SCORE,
         "q22_lang_id": SQL_LANG_ID,
