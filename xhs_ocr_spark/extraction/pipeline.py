@@ -126,15 +126,25 @@ def classify_text_route(flat_text: DataFrame) -> DataFrame:
     )
 
 
-def ocr_media_route(flat_media: DataFrame, spread_partitions: int | None = None) -> DataFrame:
+def ocr_media_route(
+    flat_media: DataFrame,
+    spread_partitions: int | None = None,
+    keep_failures: bool = False,
+) -> DataFrame:
     """Media spans through the batched OCR stage.
 
     repartition by (doc_id, offset): each span is independent, so a
     media-heavy document fans out across partitions instead of pinning one
-    executor (skew handling per north_star; AQE coalesces the tail)."""
+    executor (skew handling per north_star; AQE coalesces the tail).
+
+    ``keep_failures=False`` drops all-masks-failed spans (the reference
+    logs and skips, core/run.py:499-501); ``True`` keeps them with NULL
+    text so callers can route them to a dead-letter table."""
     parts = spread_partitions or flat_media.sparkSession.sparkContext.defaultParallelism * 2
     spread = flat_media.repartition(parts, "doc_id", "offset")
     done = spread.mapInPandas(_ocr_media, schema=_FLAT_SCHEMA)
+    if keep_failures:
+        return done
     return done.where(F.col("text").isNotNull())  # F10 dead-letter drop
 
 
@@ -181,3 +191,28 @@ def extract_spans_flat(docs: DataFrame, spread_partitions: int | None = None) ->
     return text_done.unionByName(media_done).select(
         "doc_id", "kind", "text", "media_ref", F.col("offset").alias("order")
     )
+
+
+def extract_spans_with_deadletter(
+    docs: DataFrame, spread_partitions: int | None = None
+) -> tuple[DataFrame, DataFrame]:
+    """(ok_flat, dead_letter): F10 routing as data instead of log lines.
+
+    dead_letter = media spans whose every mask failed the status/arity
+    gates (doc_id, media_ref, order, reason) — at 10^12 docs these feed a
+    triage table, not a log file."""
+    flat = explode_spans(docs)
+    text_done = classify_text_route(flat.where(F.col("kind") == "text"))
+    media_all = ocr_media_route(
+        flat.where(F.col("kind") == "media"), spread_partitions, keep_failures=True
+    )
+    ok = text_done.unionByName(media_all.where(F.col("text").isNotNull())).select(
+        "doc_id", "kind", "text", "media_ref", F.col("offset").alias("order")
+    )
+    dead = media_all.where(F.col("text").isNull()).select(
+        "doc_id",
+        "media_ref",
+        F.col("offset").alias("order"),
+        F.lit("all_masks_failed").alias("reason"),
+    )
+    return ok, dead

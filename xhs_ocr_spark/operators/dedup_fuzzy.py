@@ -197,10 +197,19 @@ def ngram_jaccard_pairs(
     (e.g. same source) when the corpus is huge.
 
     Returns (id_a, id_b, jacc_x1000) with jacc >= threshold."""
-    ex = df.select(
-        F.col(id_col).alias("id"),
-        *( [F.col(scope_col).alias("scope")] if scope_col else [] ),
-        F.explode(F.array_distinct(shingles(F.col(text_col), n))).alias("sh"),
+    parts = df.sparkSession.sparkContext.defaultParallelism * 2
+    ex = (
+        df.select(
+            F.col(id_col).alias("id"),
+            *([F.col(scope_col).alias("scope")] if scope_col else []),
+            F.col(text_col).alias("__text"),
+        )
+        .repartition(parts, "id")  # shingle on all cores, not the scan's 1 task
+        .select(
+            "id",
+            *(["scope"] if scope_col else []),
+            F.explode(F.array_distinct(shingles(F.col("__text"), n))).alias("sh"),
+        )
     )
     sizes = ex.groupBy("id").agg(F.count("*").alias("sz"))
     group_keys = ["sh", "scope"] if scope_col else ["sh"]

@@ -53,7 +53,10 @@ def cosine_topk(
     q = queries.select(
         F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
     )
-    c = corpus.select(F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_vec"))
+    parts = corpus.sparkSession.sparkContext.defaultParallelism * 2
+    c = corpus.select(
+        F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_vec")
+    ).repartition(parts, "n_id")  # scan is 1 file; spread the scoring
     scored = (
         c.crossJoin(F.broadcast(q))
         .where(F.col("n_id") != F.col("q_id"))
@@ -92,10 +95,15 @@ def lsh_near_neighbors(
 ) -> DataFrame:
     """Candidate pairs sharing an LSH bucket, verified by exact cosine.
     Returns (id_a, id_b) with cosine >= min_cos, id_a < id_b."""
-    b = df.select(
-        F.col(id_col).alias("id"),
-        F.col(vec_col).alias("vec"),
-        lsh_bucket(F.col(vec_col), dim, n_planes).alias("bucket"),
+    parts = df.sparkSession.sparkContext.defaultParallelism * 2
+    # spread before + barrier after the bucket expression: the sign-bit
+    # dots are n_planes*dim multiplies per row in interpreted HOF eval,
+    # and without the barrier both join sides re-inline the whole tree
+    b = (
+        df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+        .repartition(parts, "id")
+        .select("id", "vec", lsh_bucket(F.col("vec"), dim, n_planes).alias("bucket"))
+        .repartition(parts, "bucket")
     )
     pairs = (
         b.alias("a")

@@ -342,7 +342,10 @@ SELECT * FROM final
 def q_span_reorder(spark, sf):
     """O7 + the text route: chunk text into spans, drop empties, restore
     order by offset, reassemble (window/group semantics on real data)."""
-    docs = corpus_from_documents(_t(spark, sf, "documents"))
+    parts = spark.sparkContext.defaultParallelism * 2
+    docs = corpus_from_documents(
+        _t(spark, sf, "documents").repartition(parts, "doc_id")
+    )
     flat = docs.select("doc_id", F.explode("spans").alias("s")).select(
         "doc_id", F.col("s.kind").alias("kind"), F.col("s.text").alias("text"), F.col("s.offset").alias("offset")
     )
@@ -800,7 +803,10 @@ def q_extract_flagship(spark, sf):
     media route (mapInPandas OCR) + text route + offset re-merge.
     No SQL oracle (engine semantics live in Python); pytest checks it
     against the reference oracle instead."""
-    docs = corpus_from_documents(_t(spark, sf, "documents"))
+    parts = spark.sparkContext.defaultParallelism * 2
+    docs = corpus_from_documents(
+        _t(spark, sf, "documents").repartition(parts, "doc_id")
+    )
     return extract_spans_flat(docs)
 
 
