@@ -71,3 +71,17 @@ def test_resume_after_crash(spark, tmp_path):
     assert lineage.where("status = 'ok'").count() >= 8
     # metrics present per bucket
     assert lineage.where("rows_out >= 0 and wall_ms >= 0").count() == lineage.count()
+
+    # dead letters recorded and consistent with the oracle's failure set
+    from xhs_ocr_spark.extraction import semantics
+
+    exp_dead = set()
+    for i in range(N_DOCS):
+        doc_id, spans = datagen.corpus_rows(i)
+        for s in spans:
+            if s["kind"] == "media" and semantics.extract_media_span(s["media_ref"]) is None:
+                exp_dead.add((doc_id, s["media_ref"], s["offset"]))
+    dead = ck.dead_letter()
+    got_dead = {(r["doc_id"], r["media_ref"], r["order"]) for r in dead.collect()}
+    assert got_dead == exp_dead
+    assert lineage.groupBy().sum("dead_out").collect()[0][0] == len(exp_dead)

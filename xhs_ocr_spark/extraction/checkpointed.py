@@ -29,7 +29,7 @@ import uuid
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
-from .pipeline import extract_spans_flat
+from .pipeline import extract_spans_with_deadletter
 
 
 class CheckpointedExtraction:
@@ -43,6 +43,7 @@ class CheckpointedExtraction:
         self.spark = spark
         self.out_dir = out_dir
         self.data_dir = os.path.join(out_dir, "spans_out")
+        self.dead_dir = os.path.join(out_dir, "dead_letter")
         self.lineage_dir = os.path.join(out_dir, "lineage")
         self.n_buckets = n_buckets
         self.waves = waves
@@ -70,10 +71,23 @@ class CheckpointedExtraction:
 
     def _append_lineage(self, rows: list[dict]) -> None:
         df = self.spark.createDataFrame(
-            [(r["bucket"], r["rows_out"], r["docs_in"], r["wall_ms"], r["run_id"], r["status"]) for r in rows],
-            schema="bucket int, rows_out long, docs_in long, wall_ms long, run_id string, status string",
+            [
+                (
+                    r["bucket"], r["rows_out"], r["docs_in"], r["dead_out"],
+                    r["wall_ms"], r["run_id"], r["status"],
+                )
+                for r in rows
+            ],
+            schema="bucket int, rows_out long, docs_in long, dead_out long, "
+                   "wall_ms long, run_id string, status string",
         )
         df.coalesce(1).write.mode("append").parquet(self.lineage_dir)
+
+    def dead_letter(self):
+        try:
+            return self.spark.read.parquet(self.dead_dir)
+        except Exception:
+            return None
 
     # -- run -------------------------------------------------------------------
 
@@ -95,18 +109,21 @@ class CheckpointedExtraction:
             wave_buckets = todo[w : w + wave_size]
             t0 = time.time()
             wave_docs = bucketed.where(F.col("bucket").isin(wave_buckets))
-            out = extract_spans_flat(wave_docs.select("doc_id", "spans")).join(
+            ok, dead = extract_spans_with_deadletter(wave_docs.select("doc_id", "spans"))
+            out = ok.join(wave_docs.select("doc_id", "bucket"), on="doc_id", how="left")
+            dead_out = dead.join(
                 wave_docs.select("doc_id", "bucket"), on="doc_id", how="left"
             )
             # dynamic overwrite: only this wave's bucket partitions are
             # replaced, so re-running a bucket after a mid-wave crash (data
             # written, lineage not) is idempotent instead of duplicating
-            (
-                out.write.mode("overwrite")
-                .option("partitionOverwriteMode", "dynamic")
-                .partitionBy("bucket")
-                .parquet(self.data_dir)
-            )
+            for df, path in ((out, self.data_dir), (dead_out, self.dead_dir)):
+                (
+                    df.write.mode("overwrite")
+                    .option("partitionOverwriteMode", "dynamic")
+                    .partitionBy("bucket")
+                    .parquet(path)
+                )
             wall_ms = int((time.time() - t0) * 1000)  # per-wave wall clock,
             # recorded on each of the wave's buckets (bucket-level timing
             # would need per-task instrumentation; wave granularity is what
@@ -122,12 +139,24 @@ class CheckpointedExtraction:
                 )
                 .collect()
             }
+            try:
+                dead_stats = {
+                    r["bucket"]: r["dead_out"]
+                    for r in self.spark.read.parquet(self.dead_dir)
+                    .where(F.col("bucket").isin(wave_buckets))
+                    .groupBy("bucket")
+                    .agg(F.count("*").alias("dead_out"))
+                    .collect()
+                }
+            except Exception:  # zero dead letters so far -> schemaless dir
+                dead_stats = {}
             self._append_lineage(
                 [
                     {
                         "bucket": int(b),
                         "rows_out": int(stats.get(b, (0, 0))[0]),
                         "docs_in": int(stats.get(b, (0, 0))[1]),
+                        "dead_out": int(dead_stats.get(b, 0)),
                         "wall_ms": wall_ms,
                         "run_id": run_id,
                         "status": "ok",
