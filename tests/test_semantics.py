@@ -25,6 +25,17 @@ def test_reading_order_chained_anchor():
     assert got == ["r", "q", "p"]  # one row, sorted by x
 
 
+def test_reading_order_anchor_variant():
+    # anchor semantics: y = 0, 4, 8 — chained would group all three
+    # (each step <5), anchored groups only 0 and 4 (8 is >5 from anchor 0)
+    def blk(x, y, t):
+        return {"box": [[x, y], [x + 10, y], [x + 10, y + 3], [x, y + 3]], "score": 1.0, "text": t}
+
+    blocks = [blk(200, 0, "a"), blk(100, 4, "b"), blk(0, 8, "c")]
+    got = [b["text"] for b in S.reading_order_anchor(blocks, threshold=5)]
+    assert got == ["b", "a", "c"]  # group {a,b} x-sorted, then c alone
+
+
 def test_normalize_chain_order():
     # CJK stripped first (non-traffic), then 秒/space/o/<b> replacements
     assert S.normalize_ocr_text("曝光数 1o0秒", "note_data_overview_top", "xhs") == "100"

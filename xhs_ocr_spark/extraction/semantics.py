@@ -208,6 +208,35 @@ def reading_order(blocks: list[dict]) -> list[dict]:
     return out
 
 
+def reading_order_anchor(blocks: list[dict], threshold: float = 5.0) -> list[dict]:
+    """O2 variant (core/ocr.py:110-144 semantics): group by bbox TOP edge
+    against the GROUP ANCHOR (the first block's top, not the previous
+    block's — unlike the chained paddle variant above), threshold 5;
+    groups re-sorted by left edge."""
+    def top(b):
+        return min(p[1] for p in b["box"])
+
+    def left(b):
+        return min(p[0] for p in b["box"])
+
+    pre = sorted(blocks, key=top)
+    out: list[dict] = []
+    group: list[dict] = []
+    anchor: float | None = None
+    for b in pre:
+        if anchor is None or abs(top(b) - anchor) > threshold:
+            if group:
+                group.sort(key=left)
+                out.extend(group)
+            group = [b]
+            anchor = top(b)
+        else:
+            group.append(b)
+    group.sort(key=left)
+    out.extend(group)
+    return out
+
+
 # ---------------------------------------------------------------------------
 # Normalization chain (core/run.py:468-476 xhs; :622-627 tiktok)
 # ---------------------------------------------------------------------------

@@ -85,6 +85,67 @@ def lsh_bucket(vec_col, dim: int, n_planes: int = N_PLANES):
     return out
 
 
+N_CELLS = 8
+
+
+def centroid(dim: int, c: int) -> list[float]:
+    """Deterministic pseudo-random IVF centroid (same Knuth scheme as the
+    hyperplanes, offset so the two families differ)."""
+    return [
+        ((2654435761 * ((c + 100) * dim + j + 1)) % PLANE_MOD) / PLANE_MOD - 0.5
+        for j in range(dim)
+    ]
+
+
+def ivf_cell(vec_col, dim: int, n_cells: int = N_CELLS):
+    """Index of the max-dot-product centroid (coarse quantizer assign).
+
+    At real scale centroids come from k-means over a sample; here they are
+    deterministic so the DuckDB oracle reproduces the assignment exactly."""
+    dots = F.array(
+        *[dot(vec_col, F.array([F.lit(v) for v in centroid(dim, c)])) for c in range(n_cells)]
+    )
+    return (F.array_position(dots, F.array_max(dots)) - 1).cast("int")
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    k: int = 3,
+    n_cells: int = N_CELLS,
+) -> DataFrame:
+    """IVF approximate top-k: score only corpus vectors in the query's
+    cell (nprobe=1). The cell assignment prunes ~ (n_cells-1)/n_cells of
+    the corpus before any pairwise scoring — the scale path when LSH
+    recall is insufficient."""
+    parts = corpus.sparkSession.sparkContext.defaultParallelism * 2
+    c = (
+        corpus.select(F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_vec"))
+        .repartition(parts, "n_id")
+        .select("n_id", "n_vec", ivf_cell(F.col("n_vec"), dim, n_cells).alias("cell"))
+        .repartition(parts, "cell")
+    )
+    q = queries.select(
+        F.col(id_col).alias("q_id"),
+        F.col(vec_col).alias("q_vec"),
+        ivf_cell(F.col(vec_col), dim, n_cells).alias("cell"),
+    )
+    scored = (
+        c.join(F.broadcast(q), on="cell")
+        .where(F.col("n_id") != F.col("q_id"))
+        .select("q_id", "n_id", cosine(F.col("q_vec"), F.col("n_vec")).alias("cos"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("n_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("q_id", "n_id", F.col("rank").cast("long").alias("rank"))
+    )
+
+
 def lsh_near_neighbors(
     df: DataFrame,
     id_col: str = "vec_id",

@@ -168,7 +168,7 @@ def q_arity_gate(spark, sf):
     """F7/F8: arity validation — keep docs whose token count % 8 == 0
     (the traffic-analysis 8-text gate, core/run.py:478-490)."""
     d = _t(spark, sf, "documents")
-    n = TX.token_count(F.col("text"))
+    n = TX.token_count(F.col("text")).cast("long")
     return d.select("doc_id", n.alias("n_tokens")).where(F.col("n_tokens") % 8 == 0)
 
 
@@ -793,6 +793,38 @@ WHERE list_cosine_similarity(a.vec, b2.vec) >= 0.2
 """
 
 
+def q_ivf_ann(spark, sf):
+    """IVF approximate top-k (nprobe=1 coarse quantizer), queries = first
+    5 vectors."""
+    e = _t(spark, sf, "embeddings")
+    return SS.ivf_topk(e, e.where(F.col("vec_id") < 5), k=3)
+
+
+def _sql_ivf_ann() -> str:
+    cents = [SS.centroid(64, c) for c in range(SS.N_CELLS)]
+    dots = ", ".join(
+        f"list_dot_product(list_transform(embedding, x -> CAST(x AS DOUBLE)), {c})"
+        for c in cents
+    )
+    return f"""
+WITH assigned AS (
+  SELECT vec_id, embedding,
+         list_position(d, list_max(d)) - 1 AS cell
+  FROM (SELECT vec_id, embedding, [{dots}] AS d FROM embeddings)
+), q AS (
+  SELECT vec_id AS q_id, embedding AS q_vec, cell FROM assigned WHERE vec_id < 5
+), scored AS (
+  SELECT q.q_id, a.vec_id AS n_id,
+         list_cosine_similarity(q.q_vec, a.embedding) AS cos
+  FROM q JOIN assigned a ON a.cell = q.cell AND a.vec_id <> q.q_id
+)
+SELECT q_id, n_id, CAST(rank AS BIGINT) AS rank FROM (
+  SELECT q_id, n_id, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank
+  FROM scored
+) WHERE rank <= 3
+"""
+
+
 # ---------------------------------------------------------------------------
 # Flagship (non-SQL-expressible: stand-in OCR inside mapInPandas)
 # ---------------------------------------------------------------------------
@@ -847,6 +879,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q28_cosine_topk": q_cosine_topk,
         "q29_embedding_neardup": q_embedding_neardup,
         "q30_extract_flagship": q_extract_flagship,
+        "q31_ivf_ann": q_ivf_ann,
     }
 
 
@@ -882,4 +915,5 @@ def oracle_sql() -> dict[str, str]:
         "q28_cosine_topk": SQL_COSINE_TOPK,
         "q29_embedding_neardup": _sql_embedding_neardup(),
         # q30_extract_flagship: intentionally no oracle (rows-only check)
+        "q31_ivf_ann": _sql_ivf_ann(),
     }
