@@ -74,7 +74,8 @@ def main() -> None:
     import tempfile
 
     stage_dir = os.path.join(
-        tempfile.gettempdir(), f"xhs_bench_corpus_r{replicate}_{os.path.basename(sf_dir)}"
+        tempfile.gettempdir(),
+        f"xhs_bench_corpus_r{replicate}_{os.path.basename(sf_dir.rstrip('/'))}",
     )
     trials: dict[int, list[dict]] = {n_cores: [], 4 * n_cores: []}
     for _ in range(2):

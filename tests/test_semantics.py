@@ -42,8 +42,9 @@ def test_normalize_chain_order():
     assert S.normalize_ocr_text("<b>5o</b>", "likes", "xhs") == "50"
     # traffic tags keep CJK
     assert S.normalize_ocr_text("首页 12", "note_traffic_analysis", "xhs") == "首页12"
-    # tiktok additionally strips 's'
+    # tiktok strips 's' but NEVER CJK (core/run.py:622-627 has no re.sub)
     assert S.normalize_ocr_text("12s", "video_data_overview_top", "tiktok") == "12"
+    assert S.normalize_ocr_text("中文5s", "note_data_overview_top", "tiktok") == "中文5"
 
 
 def test_chinese_number_conversion():
@@ -51,6 +52,10 @@ def test_chinese_number_conversion():
     assert S.convert_chinese_number("23万") == "230000"
     assert S.convert_chinese_number("85%") == "85%"
     assert S.convert_chinese_number("123") == "123"
+    # reference parity: strip-all-non-digits, try/except passthrough
+    assert S.convert_chinese_number("1 2万") == "120000"
+    assert S.convert_chinese_number("1.2.3万") == "1.2.3万"
+    assert S.convert_chinese_number("万") == "万"
 
 
 def test_standin_ocr_protocol_and_determinism():
@@ -75,10 +80,15 @@ def test_extract_media_span_deterministic_and_formatted():
         seen_some += 1
         tag, ctype, body = out.split(";", 2)
         assert tag in S.TAG_FIELDS
-        if tag in ("note_traffic_analysis", "video_traffic_analysis"):
-            # single field whose value is the '|'-paired string (X9)
+        if tag == "note_traffic_analysis":
+            # single field whose value is the 8->4 '|'-paired string (X9);
+            # the reference pairs ONLY note_traffic (core/run.py:478)
             assert body.startswith("source_homepage=")
-            assert body.count(":") >= 3
+            assert body.count("|") == 3
+        elif tag == "video_traffic_analysis":
+            # plain arity-1 extraction, no pairing
+            assert body.startswith("source_homepage=")
+            assert "|" not in body
         else:
             fields = [kv.split("=", 1)[0] for kv in body.split("|")]
             assert fields == S.TAG_FIELDS[tag]

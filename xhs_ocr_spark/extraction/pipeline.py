@@ -110,18 +110,21 @@ def explode_spans(docs: DataFrame) -> DataFrame:
 def classify_text_route(flat_text: DataFrame) -> DataFrame:
     """Vectorized boilerplate classifier — mirror of
     semantics.classify_text_span using only built-in column functions."""
-    words = F.filter(F.split(F.col("text"), r"\s+"), lambda w: w != "")
+    # project __words ONCE, then derive hits/ratio from the column
+    # reference — inlining the split into each consumer would re-tokenize
+    # every span per use (same expression-duplication trap as minhash).
     # NB: .isin compiles to a static InSet; an F.array(...) literal here
     # would be re-allocated on EVERY lambda invocation (per word) in
-    # interpreted HOF evaluation — measured as a GC-bound serial ceiling
+    # interpreted HOF evaluation — measured as a GC-bound serial ceiling.
+    words_expr = F.filter(F.split(F.col("text"), r"\s+"), lambda w: w != "")
     boiler = sorted(BOILERPLATE_TOKENS)
-    hits = F.size(F.filter(words, lambda w: w.isin(boiler)))
-    ratio = hits / F.size(words)
+    with_words = flat_text.withColumn("__words", words_expr)
+    wcol = F.col("__words")
+    hits = F.size(F.filter(wcol, lambda w: w.isin(boiler)))
     return (
-        flat_text.withColumn("__words", words)
-        .where(F.size("__words") > 0)
-        .where(ratio <= F.lit(BOILERPLATE_MAX_RATIO))
-        .withColumn("text", F.concat_ws(" ", F.col("__words")))
+        with_words.where(F.size(wcol) > 0)
+        .where(hits / F.size(wcol) <= F.lit(BOILERPLATE_MAX_RATIO))
+        .withColumn("text", F.concat_ws(" ", wcol))
         .drop("__words")
     )
 

@@ -132,7 +132,10 @@ def run_standin_ocr(media_ref: str) -> dict:
     """
     h = _h64("doc:" + media_ref)
     tag = media_tag(media_ref)
-    need = 8 if tag in _TRAFFIC_TAGS else len(TAG_FIELDS[tag])
+    # only note_traffic_analysis needs the 8 pairing texts — the reference
+    # gates on filename.startswith (core/run.py:478), so
+    # video_traffic_analysis needs its plain config arity (1)
+    need = 8 if tag.startswith(TRAFFIC_PREFIX) else len(TAG_FIELDS[tag])
     n_blocks = need + 2 + h % 3
     blocks = []
     for i in range(n_blocks):
@@ -163,7 +166,7 @@ def mask_regions(tag: str, mask_order: int, n_blocks: int) -> list[int] | None:
     Returns None when the mask geometry can't apply (reference analog:
     size-mismatch guard, core/run.py:396-399).
     """
-    need = 8 if tag in _TRAFFIC_TAGS else len(TAG_FIELDS[tag])
+    need = 8 if tag.startswith(TRAFFIC_PREFIX) else len(TAG_FIELDS[tag])
     lo = mask_order
     if lo + need > n_blocks:
         return None
@@ -245,29 +248,43 @@ _CJK_RE = re.compile(r"[一-鿿]+")
 
 
 def normalize_ocr_text(text: str, tag: str, app: str) -> str:
-    """Exact replace order matters and is preserved."""
+    """Exact replace order matters and is preserved per app branch:
+    - xhs (core/run.py:468-474): CJK strip unless the tag starts with
+      note_traffic_analysis, then 秒 / space / o->0 / <b> / </b>;
+    - tiktok (core/run.py:622-627): NO CJK strip, chain is
+      秒 / s / space / o->0 / <b> / </b> (s removed before o->0)."""
+    if app == "tiktok":
+        return (
+            text.replace("秒", "")
+            .replace("s", "")
+            .replace(" ", "")
+            .replace("o", "0")
+            .replace("<b>", "")
+            .replace("</b>", "")
+        )
     if not tag.startswith(TRAFFIC_PREFIX):
         text = _CJK_RE.sub("", text)
-    text = (
+    return (
         text.replace("秒", "")
         .replace(" ", "")
         .replace("o", "0")
         .replace("<b>", "")
         .replace("</b>", "")
     )
-    if app == "tiktok":
-        text = text.replace("s", "")
-    return text
 
 
 def convert_chinese_number(text: str) -> str:
     """'1.5万' -> '15000' (int), passthrough otherwise (core/run.py:679-690).
 
-    Returned as string: the reference keeps all values TEXT in storage."""
+    Matches the reference exactly: strip every non-digit/dot character,
+    then float(); unparseable remainders ('', '1.2.3') pass through
+    unchanged. Returned as string (the reference stores TEXT)."""
     if "万" in text:
-        m = re.search(r"([\d.]+)", text)
-        if m:
-            return str(int(float(m.group(1)) * 10000))
+        number_part = re.sub(r"[^\d.]", "", text)
+        try:
+            return str(int(float(number_part) * 10000))
+        except ValueError:
+            return text
     return text
 
 
@@ -316,8 +333,9 @@ def extract_media_span(media_ref: str) -> str | None:
             t = normalize_ocr_text(str(b["text"]), tag, app)
             if t:
                 texts.append(t)
-        if tag in _TRAFFIC_TAGS:
+        if tag.startswith(TRAFFIC_PREFIX):
             # pairing gate: exactly 8 texts -> 1 combined value
+            # (note_traffic_analysis ONLY, per core/run.py:478)
             if len(texts) == 8:
                 texts = ["|".join(f"{texts[i]}:{texts[i+1]}" for i in range(0, 8, 2))]
             else:
@@ -337,6 +355,11 @@ def extract_media_span(media_ref: str) -> str | None:
 # ---------------------------------------------------------------------------
 
 
+_WS_RE = re.compile(r"\s+", re.ASCII)  # ASCII \s to match Java/RE2 regex
+# semantics in the Spark route and DuckDB oracles exactly (str.split()
+# would additionally split on Unicode whitespace and silently diverge)
+
+
 def classify_text_span(text: str) -> str | None:
     """Return cleaned main-content text, or None if boilerplate.
 
@@ -344,7 +367,7 @@ def classify_text_span(text: str) -> str | None:
     boilerplate-vocabulary tokens exceeds BOILERPLATE_MAX_RATIO; otherwise
     return whitespace-collapsed text. The Spark pipeline expresses the SAME
     rule with built-in column functions (no Python in the hot path)."""
-    words = [w for w in text.split() if w]
+    words = [w for w in _WS_RE.split(text) if w]
     if not words:
         return None
     hits = sum(1 for w in words if w in BOILERPLATE_TOKENS)

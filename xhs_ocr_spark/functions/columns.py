@@ -10,27 +10,35 @@ from pyspark.sql import Column, DataFrame
 
 
 def normalize_ocr_col(text: Column, tag: Column, app: Column) -> Column:
-    """X5-X7: CJK strip (non-traffic tags) + replace chain + tiktok 's'.
+    """X5-X7: exact replace chains per app branch.
 
-    Replace order preserved from core/run.py:468-476, 622-627."""
-    stripped = F.when(
-        tag.startswith("note_traffic_analysis"), text
-    ).otherwise(F.regexp_replace(text, "[一-鿿]+", ""))
-    chained = F.regexp_replace(stripped, "秒", "")
-    chained = F.regexp_replace(chained, " ", "")
-    chained = F.regexp_replace(chained, "o", "0")
-    chained = F.regexp_replace(chained, "<b>", "")
-    chained = F.regexp_replace(chained, "</b>", "")
-    return F.when(app == F.lit("tiktok"), F.regexp_replace(chained, "s", "")).otherwise(chained)
+    xhs (core/run.py:468-474): CJK strip unless note_traffic tag, then
+    秒/space/o/<b>/</b>; tiktok (core/run.py:622-627): no CJK strip,
+    秒/s/space/o/<b>/</b> (s before o->0)."""
+
+    def chain(c: Column, steps: list[tuple[str, str]]) -> Column:
+        for pat, rep in steps:
+            c = F.regexp_replace(c, pat, rep)
+        return c
+
+    xhs_in = F.when(tag.startswith("note_traffic_analysis"), text).otherwise(
+        F.regexp_replace(text, "[一-鿿]+", "")
+    )
+    xhs = chain(xhs_in, [("秒", ""), (" ", ""), ("o", "0"), ("<b>", ""), ("</b>", "")])
+    tiktok = chain(
+        text, [("秒", ""), ("s", ""), (" ", ""), ("o", "0"), ("<b>", ""), ("</b>", "")]
+    )
+    return F.when(app == F.lit("tiktok"), tiktok).otherwise(xhs)
 
 
 def chinese_number_to_long(c: Column) -> Column:
     """X8: '1.5万' -> 15000, passthrough otherwise (string-typed, matching
-    the reference's TEXT storage; core/run.py:679-690)."""
-    converted = (
-        F.regexp_extract(c, r"([\d.]+)", 1).cast("double") * 10000
-    ).cast("long").cast("string")
-    return F.when(c.contains("万") & (F.regexp_extract(c, r"([\d.]+)", 1) != ""), converted).otherwise(c)
+    the reference's TEXT storage; core/run.py:679-690: strip all
+    non-digit/dot chars, float() in try/except — unparseable remainders
+    like '1.2.3' pass through)."""
+    num = F.regexp_replace(c, r"[^0-9.]", "").try_cast("double")
+    converted = (num * 10000).cast("long").cast("string")
+    return F.when(c.contains("万") & num.isNotNull(), converted).otherwise(c)
 
 
 def label_value_pairs(texts: Column) -> Column:

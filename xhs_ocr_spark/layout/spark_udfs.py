@@ -60,7 +60,11 @@ def apply_layout(df: DataFrame, mode: str, blocks_col: str = "blocks") -> DataFr
         for pdf in batches:
             out = []
             for blocks in pdf[blocks_col]:
-                pyblocks = [_to_py(b) for b in blocks]
+                # empty-text blocks would crash the separator rules
+                # (text[-1]); real OCR engines don't emit them, and the
+                # reference would crash identically — drop them here so a
+                # single bad block can't kill the whole job
+                pyblocks = [_to_py(b) for b in blocks if b["text"]]
                 if not pyblocks:
                     out.append([])
                     continue

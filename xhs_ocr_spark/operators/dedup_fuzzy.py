@@ -109,9 +109,10 @@ def lsh_candidate_pairs(
     groupBy(band) collecting the (small) bucket -> in-expression pair
     expansion -> distinct. One shuffle on uniformly-distributed md5 band
     keys + one for distinct; no self-join, so the (expensive) signature
-    expression tree is never duplicated across join sides. Oversized
-    buckets (hot bands) are truncated defensively at 1000 members —
-    anything that size is a degenerate band (all-identical docs)."""
+    expression tree is never duplicated across join sides. No silent
+    bucket truncation: a degenerate hot band (thousands of identical
+    docs) should be handled explicitly upstream (exact-dedup first),
+    not capped invisibly here."""
     # two exchanges around the md5 work, both over small rows:
     # - BEFORE: spread input across cores (a low-partition parquet scan
     #   would otherwise hash every document on one task),
@@ -133,7 +134,7 @@ def lsh_candidate_pairs(
     )
     buckets = (
         sig.groupBy("band")
-        .agg(F.slice(F.sort_array(F.collect_set("id")), 1, 1000).alias("ids"))
+        .agg(F.sort_array(F.collect_set("id")).alias("ids"))
         .where(F.size("ids") > 1)
     )
     return (

@@ -173,9 +173,9 @@ def q_arity_gate(spark, sf):
 
 
 SQL_ARITY_GATE = r"""
-SELECT doc_id, len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens
+SELECT doc_id, len(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '')) AS n_tokens
 FROM documents
-WHERE len(regexp_split_to_array(trim(text), '\s+')) % 8 = 0
+WHERE len(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '')) % 8 = 0
 """
 
 
@@ -222,8 +222,8 @@ WITH s AS (
   FROM documents
 )
 SELECT doc_id, raw,
-       CASE WHEN raw LIKE '%万%' AND regexp_extract(raw, '([0-9.]+)', 1) <> ''
-            THEN CAST(CAST(floor(CAST(regexp_extract(raw, '([0-9.]+)', 1) AS DOUBLE) * 10000) AS BIGINT) AS VARCHAR)
+       CASE WHEN raw LIKE '%万%' AND TRY_CAST(regexp_replace(raw, '[^0-9.]', '', 'g') AS DOUBLE) IS NOT NULL
+            THEN CAST(CAST(floor(TRY_CAST(regexp_replace(raw, '[^0-9.]', '', 'g') AS DOUBLE) * 10000) AS BIGINT) AS VARCHAR)
             ELSE raw END AS converted
 FROM s
 """
@@ -242,7 +242,7 @@ def q_label_value_pairing(spark, sf):
 
 SQL_LABEL_VALUE = r"""
 WITH w AS (
-  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents
+  SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS ws FROM documents
 )
 SELECT doc_id,
        ws[1] || ':' || ws[2] || '|' || ws[3] || ':' || ws[4] || '|' ||
@@ -367,7 +367,7 @@ def q_span_reorder(spark, sf):
 
 SQL_SPAN_REORDER = r"""
 WITH w AS (
-  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents
+  SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS ws FROM documents
 ), chunks AS (
   SELECT doc_id,
          unnest(list_transform(
@@ -443,8 +443,8 @@ WITH p AS (
   FROM documents
 ), conv AS (
   SELECT account_id, doc_id,
-         CASE WHEN fans_raw LIKE '%万%' AND regexp_extract(fans_raw, '([0-9.]+)', 1) <> ''
-              THEN CAST(CAST(floor(CAST(regexp_extract(fans_raw, '([0-9.]+)', 1) AS DOUBLE) * 10000) AS BIGINT) AS VARCHAR)
+         CASE WHEN fans_raw LIKE '%万%' AND TRY_CAST(regexp_replace(fans_raw, '[^0-9.]', '', 'g') AS DOUBLE) IS NOT NULL
+              THEN CAST(CAST(floor(TRY_CAST(regexp_replace(fans_raw, '[^0-9.]', '', 'g') AS DOUBLE) * 10000) AS BIGINT) AS VARCHAR)
               ELSE fans_raw END AS fans
   FROM p
 )
@@ -568,7 +568,7 @@ def q_token_stats(spark, sf):
 
 
 SQL_TOKEN_STATS = r"""
-WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents)
+WITH w AS (SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS ws FROM documents)
 SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_tokens,
        CAST(list_sum(list_transform(ws, x -> CAST(ceil(length(x)/4.0) AS BIGINT))) AS BIGINT) AS n_subtokens
 FROM w
@@ -582,7 +582,7 @@ def q_quality_score(spark, sf):
 
 SQL_QUALITY_SCORE = r"""
 WITH w AS (
-  SELECT doc_id, text, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents
+  SELECT doc_id, text, list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS ws FROM documents
 ), m AS (
   SELECT doc_id,
          len(ws) AS n,
@@ -607,7 +607,7 @@ def q_lang_id(spark, sf):
 
 SQL_LANG_ID = r"""
 WITH w AS (
-  SELECT doc_id, text, list_transform(regexp_split_to_array(trim(text), '\s+'), x -> lower(x)) AS ws
+  SELECT doc_id, text, list_transform(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> ''), x -> lower(x)) AS ws
   FROM documents
 ), m AS (
   SELECT doc_id,
@@ -637,7 +637,7 @@ def q_fingerprint(spark, sf):
 
 
 SQL_FINGERPRINT = r"""
-WITH w AS (SELECT doc_id, text, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents)
+WITH w AS (SELECT doc_id, text, list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS ws FROM documents)
 SELECT doc_id,
        md5(array_to_string(list_transform(ws, x -> lower(x)), ' ')) AS fp,
        CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT) AS rolling_h64
@@ -653,7 +653,7 @@ def q_minhash_signature(spark, sf):
 
 SQL_MINHASH = r"""
 WITH w AS (
-  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents
+  SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS ws FROM documents
 ), sh AS (
   SELECT doc_id,
          list_transform(generate_series(1, greatest(len(ws) - 2, 1)),
@@ -677,7 +677,7 @@ def q_lsh_pairs(spark, sf):
 
 SQL_LSH_PAIRS = r"""
 WITH w AS (
-  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents
+  SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS ws FROM documents
 ), sh AS (
   SELECT doc_id,
          list_transform(generate_series(1, greatest(len(ws) - 2, 1)),
@@ -708,7 +708,7 @@ def q_simhash(spark, sf):
 SQL_SIMHASH = r"""
 WITH w AS (
   SELECT doc_id,
-         list_transform(regexp_split_to_array(trim(text), '\s+'),
+         list_transform(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> ''),
                         x -> CAST(('0x' || substr(md5(x), 1, 15)) AS BIGINT)) AS hs
   FROM documents
 )
@@ -728,7 +728,7 @@ def q_ngram_jaccard(spark, sf):
 
 SQL_NGRAM_JACCARD = r"""
 WITH w AS (
-  SELECT doc_id, lang, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents
+  SELECT doc_id, lang, list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS ws FROM documents
 ), sh AS (
   SELECT doc_id, lang, unnest(list_distinct(
     list_transform(generate_series(1, greatest(len(ws) - 2, 1)),
