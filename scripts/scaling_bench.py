@@ -78,7 +78,7 @@ def main() -> None:
         f"xhs_bench_corpus_r{replicate}_{os.path.basename(sf_dir.rstrip('/'))}",
     )
     trials: dict[int, list[dict]] = {n_cores: [], 4 * n_cores: []}
-    for _ in range(2):
+    for _ in range(int(os.environ.get('SCALING_ROUNDS', '2'))):
         for c in (n_cores, 4 * n_cores):
             r = run_at(c, replicate, sf_dir, stage_dir)
             print(f"local[{c}]:", r)
