@@ -105,10 +105,12 @@ def main() -> None:
     extract_sec = time.time() - t0
     docs_per_sec = n_docs / extract_sec
 
-    # ---- per-query wall times ----
+    # ---- per-query wall times (one warm-up pass each: JIT + code cache;
+    # cold first passes showed 3-10x noise on this VM) ----
     qs = Q.queries()
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
+        qs[name](spark, sf_dir).count()
         t0 = time.time()
         qs[name](spark, sf_dir).count()
         timings[name] = round(time.time() - t0, 3)
