@@ -27,6 +27,31 @@ def norm_cell(v):
     return str(v)
 
 
+# Canonical type families. The driver's CORRECTNESS hash is typed, so a
+# DuckDB HUGEINT (sum of BIGINT widens to int128) vs Spark BIGINT mismatch
+# is a real failure even when the printed values agree — round 1's q18
+# escaped because this script compared normalized strings only.
+_SPARK_TY = {
+    "bigint": "i64", "int": "i32", "smallint": "i16", "tinyint": "i8",
+    "double": "f64", "float": "f32", "string": "str", "boolean": "bool",
+    "date": "date", "timestamp": "ts", "binary": "bin",
+}
+_DUCK_TY = {
+    "BIGINT": "i64", "INTEGER": "i32", "SMALLINT": "i16", "TINYINT": "i8",
+    "HUGEINT": "i128", "UBIGINT": "u64", "DOUBLE": "f64", "FLOAT": "f32",
+    "VARCHAR": "str", "BOOLEAN": "bool", "DATE": "date", "BLOB": "bin",
+    "TIMESTAMP": "ts", "TIMESTAMP WITH TIME ZONE": "ts",
+}
+
+
+def canon_spark(dtype: str) -> str:
+    return _SPARK_TY.get(dtype, dtype)
+
+
+def canon_duck(dtype: str) -> str:
+    return _DUCK_TY.get(dtype.upper(), dtype.upper())
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
@@ -49,6 +74,7 @@ def main() -> None:
         try:
             sdf = fn(spark, sf_dir)
             scols = sorted(sdf.columns)
+            stypes = dict(sdf.dtypes)
             srows = sorted(
                 tuple(norm_cell(r[c]) for c in scols) for r in sdf.collect()
             )
@@ -60,6 +86,10 @@ def main() -> None:
             print(f"{name:28s} rows-only: {len(srows)} rows, cols={scols}")
             continue
         try:
+            otypes = {
+                r[0]: r[1]
+                for r in con.execute(f"DESCRIBE ({os_[name]})").fetchall()
+            }
             cur = con.execute(os_[name])
             ocols_raw = [d[0] for d in cur.description]
             orows_raw = cur.fetchall()
@@ -73,6 +103,14 @@ def main() -> None:
         problems = []
         if scols != ocols:
             problems.append(f"cols {scols} vs {ocols}")
+        else:
+            ty_diff = [
+                f"{c}: spark={stypes[c]} duckdb={otypes.get(c)}"
+                for c in scols
+                if canon_spark(stypes[c]) != canon_duck(otypes.get(c, "?"))
+            ]
+            if ty_diff:
+                problems.append("types " + "; ".join(ty_diff))
         if len(srows) != len(orows):
             problems.append(f"count {len(srows)} vs {len(orows)}")
         elif srows != orows:

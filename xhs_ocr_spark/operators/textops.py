@@ -54,9 +54,12 @@ def bpe_ish_token_count(text: Column) -> Column:
 
 
 def stopword_ratio(text: Column) -> Column:
-    sw = F.array([F.lit(w) for w in ENGLISH_STOPWORDS])
+    # isin -> static InSet: an F.array literal inside the lambda would be
+    # re-allocated per element (measured GC-bound ceiling; see CLAUDE.md).
     ws = words(text)
-    return F.size(F.filter(ws, lambda w: F.array_contains(sw, F.lower(w)))) / F.size(ws)
+    return F.size(
+        F.filter(ws, lambda w: F.lower(w).isin(list(ENGLISH_STOPWORDS)))
+    ) / F.size(ws)
 
 
 def punct_ratio(text: Column) -> Column:
@@ -86,8 +89,8 @@ def lang_id(text: Column) -> Column:
     ws = words(text)
 
     def marker_hits(markers: tuple[str, ...]):
-        arr = F.array([F.lit(m) for m in markers])
-        return F.size(F.filter(ws, lambda w: F.array_contains(arr, F.lower(w))))
+        # isin (static InSet) — not a per-invocation array literal.
+        return F.size(F.filter(ws, lambda w: F.lower(w).isin(list(markers))))
 
     hits = {lang: marker_hits(markers) for lang, markers in LANG_MARKERS.items()}
     best = (

@@ -403,7 +403,7 @@ def q_sidecar_json(spark, sf):
 
 SQL_SIDECAR_JSON = """
 SELECT event_type, count(*) AS n,
-       sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+       CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
        max(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
 FROM events
 WHERE json_extract(props, '$.k') IS NOT NULL
@@ -754,11 +754,13 @@ def q_cosine_topk(spark, sf):
 
 
 SQL_COSINE_TOPK = """
-WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id < 10),
+WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+           FROM embeddings),
+     q AS (SELECT vec_id AS q_id, vec AS q_vec FROM v WHERE vec_id < 10),
      scored AS (
        SELECT q.q_id, c.vec_id AS n_id,
-              list_cosine_similarity(q.q_vec, c.embedding) AS cos
-       FROM q, embeddings c WHERE c.vec_id <> q.q_id
+              list_cosine_similarity(q.q_vec, c.vec) AS cos
+       FROM q, v c WHERE c.vec_id <> q.q_id
      )
 SELECT q_id, n_id, CAST(rank AS BIGINT) AS rank FROM (
   SELECT q_id, n_id, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank
@@ -774,18 +776,21 @@ def q_embedding_neardup(spark, sf):
 
 
 def _sql_embedding_neardup() -> str:
+    # Mirror q31: cast the FLOAT embedding to DOUBLE before any dot /
+    # cosine so the >0 sign-bit and >=0.2 threshold agree with Spark,
+    # which computes in double (ADVICE r1: data-dependent flips otherwise).
     planes = [SS.hyperplane(64, p) for p in range(4)]
-    plane_sql = ", ".join(
-        f"list_dot_product(embedding, {pl}) > 0" for pl in planes
-    )
     bucket = " + ".join(
-        f"(CASE WHEN list_dot_product(embedding, {pl}) > 0 THEN {2**p} ELSE 0 END)"
+        f"(CASE WHEN list_dot_product(vec, {pl}) > 0 THEN {2**p} ELSE 0 END)"
         for p, pl in enumerate(planes)
     )
     return f"""
-WITH b AS (
-  SELECT vec_id AS id, embedding AS vec, CAST({bucket} AS BIGINT) AS bucket
+WITH v AS (
+  SELECT vec_id AS id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
   FROM embeddings
+), b AS (
+  SELECT id, vec, CAST({bucket} AS BIGINT) AS bucket FROM v
 )
 SELECT DISTINCT a.id AS id_a, b2.id AS id_b
 FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.id < b2.id
@@ -808,14 +813,14 @@ def _sql_ivf_ann() -> str:
     )
     return f"""
 WITH assigned AS (
-  SELECT vec_id, embedding,
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec,
          list_position(d, list_max(d)) - 1 AS cell
   FROM (SELECT vec_id, embedding, [{dots}] AS d FROM embeddings)
 ), q AS (
-  SELECT vec_id AS q_id, embedding AS q_vec, cell FROM assigned WHERE vec_id < 5
+  SELECT vec_id AS q_id, vec AS q_vec, cell FROM assigned WHERE vec_id < 5
 ), scored AS (
   SELECT q.q_id, a.vec_id AS n_id,
-         list_cosine_similarity(q.q_vec, a.embedding) AS cos
+         list_cosine_similarity(q.q_vec, a.vec) AS cos
   FROM q JOIN assigned a ON a.cell = q.cell AND a.vec_id <> q.q_id
 )
 SELECT q_id, n_id, CAST(rank AS BIGINT) AS rank FROM (
