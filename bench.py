@@ -46,14 +46,17 @@ BENCH_QUERIES = [
 ]
 
 
-def amplified_corpus(spark, sf_dir: str, replicate: int):
-    """Derive the interleaved corpus, replicated with distinct doc_ids.
+def amplified_corpus(spark, sf_dir: str, replicate: int, with_bytes: bool = True):
+    """Derive the interleaved corpus, replicated with distinct doc_ids,
+    media spans carrying their raw RGBA payloads.
 
     Order matters for scale: replicate + repartition the RAW (doc_id,
     text) rows first, and only then derive the span arrays — the sf
     parquet is one file (one scan partition), and deriving spans before
     the exchange would funnel every document through a single task (a
     measured ~30s serial head that capped scaling efficiency at 0.38)."""
+    from xhs_ocr_spark.extraction.datagen import attach_media_bytes
+
     raw = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
         F.col("doc_id").cast("string").alias("doc_id"), "text"
     )
@@ -64,7 +67,8 @@ def amplified_corpus(spark, sf_dir: str, replicate: int):
             F.concat_ws("#", "doc_id", "rep").alias("doc_id"), "text"
         )
     spread = raw.repartition(parts, "doc_id")
-    return corpus_from_documents(spread)
+    corpus = corpus_from_documents(spread)
+    return attach_media_bytes(corpus) if with_bytes else corpus
 
 
 def staged_corpus(spark, sf_dir: str, replicate: int, stage_dir: str, files: int = 64):
@@ -95,7 +99,7 @@ def main() -> None:
     import tempfile
 
     stage_dir = os.path.join(
-        tempfile.gettempdir(), f"xhs_bench_corpus_r{replicate}_{os.path.basename(sf_dir.rstrip('/'))}"
+        tempfile.gettempdir(), f"xhs_bench_corpus_v2_r{replicate}_{os.path.basename(sf_dir.rstrip('/'))}"
     )
     corpus = staged_corpus(spark, sf_dir, replicate, stage_dir)
     n_docs = corpus.count()

@@ -82,14 +82,29 @@ def main() -> None:
         "flagship_flat",
         flat,
         [
-            ("media skew-spread exchange", r"REPARTITION_BY_NUM", True),
-            ("arrow-batched python stage", r"MapInPandas", True),
-            # the text route must NOT shuffle: its branch reaches the union
-            # with only the corpus repartition + the media spread exchange
+            ("span skew-spread exchange", r"REPARTITION_BY_NUM", True),
+            # unified routing: exactly ONE Arrow-batched python stage (the
+            # OCR mapInPandas), sitting ABOVE the spread exchange
+            ("arrow-batched python stage", r"MapInPandas|ArrowEvalPython", True),
             ("no sort-merge join anywhere", r"SortMergeJoin", False),
             ("no python row UDFs", r"BatchEvalPython", False),
         ],
     )
+    # single-scan + single-python-stage invariants (round-2 item 5).
+    # formatted plans list each node twice (tree + detail); count details.
+    plan_txt = open(os.path.join(OUT, "flagship_flat.txt")).read()
+    n_scan = len(re.findall(r"^\(\d+\) Scan parquet", plan_txt, re.M))
+    n_py = len(
+        re.findall(r"^\(\d+\) (?:MapInPandas|ArrowEvalPython)", plan_txt, re.M)
+    )
+    for label, want in (
+        ("exactly one parquet scan", n_scan == 1),
+        ("exactly one python stage", n_py == 1),
+    ):
+        tag = "OK " if want else "FAIL"
+        print(f"{tag} flagship_flat: {label}")
+        if not want:
+            failures.append(("flagship_flat", label))
 
     print(f"\n{len(failures)} plan-invariant failures; plans in {OUT}/")
     spark.stop()

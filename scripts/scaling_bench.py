@@ -75,7 +75,7 @@ def main() -> None:
 
     stage_dir = os.path.join(
         tempfile.gettempdir(),
-        f"xhs_bench_corpus_r{replicate}_{os.path.basename(sf_dir.rstrip('/'))}",
+        f"xhs_bench_corpus_v2_r{replicate}_{os.path.basename(sf_dir.rstrip('/'))}",
     )
     trials: dict[int, list[dict]] = {n_cores: [], 4 * n_cores: []}
     for _ in range(int(os.environ.get('SCALING_ROUNDS', '2'))):

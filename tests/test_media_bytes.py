@@ -1,0 +1,145 @@
+"""Binary media path (round-2 item 1): raw RGBA payloads through the
+flagship, mask library as a broadcast dim table, alpha-composite pixel
+math per /root/reference/core/run.py:402-404.
+
+Key property: the byte path and the hash-derived stand-in are two faces
+of ONE semantics definition — extract_from_bytes(render(ref)) must equal
+extract_media_span(ref) for every ref, and the Spark engine must follow
+the BYTES (tamper test), not the ref."""
+
+import numpy as np
+import pyspark.sql.functions as F
+
+from xhs_ocr_spark.extraction import raw_image as RI
+from xhs_ocr_spark.extraction import semantics as S
+from xhs_ocr_spark.extraction.datagen import (
+    attach_media_bytes,
+    corpus_from_documents,
+    generate_corpus,
+)
+from xhs_ocr_spark.extraction.pipeline import extract_spans_flat
+from xhs_ocr_spark.sources.mask_library import (
+    broadcast_mask_library,
+    mask_library_df,
+)
+
+MASKS = RI.masks_by_key(RI.mask_library())
+
+
+def test_bytes_path_equals_ref_path():
+    for i in range(500):
+        ref = f"mem://doc-{i:06d}/{i % 7}"
+        want = S.extract_media_span(ref)
+        got = RI.extract_from_bytes(RI.render_media_image(ref), MASKS)
+        assert got == want, ref
+
+
+def test_noise_padding_is_semantically_inert():
+    for i in range(50):
+        ref = f"mem://pad-{i}/{i % 5}"
+        a = RI.extract_from_bytes(RI.render_media_image(ref), MASKS)
+        b = RI.extract_from_bytes(
+            RI.render_media_image(ref, noise_rows=128), MASKS
+        )
+        assert a == b
+
+
+def test_composite_is_reference_pixel_math():
+    """img * (alpha/255) zeroes masked-out bands and preserves kept ones
+    byte-for-byte (alpha is binary by construction)."""
+    ref = "mem://pixel/0"
+    img = RI.decode_image(RI.render_media_image(ref))
+    tag, app, n_blocks = RI.read_header(img)
+    mask = RI.decode_image(MASKS[(app, "default", tag)][0])
+    alpha = np.zeros(img.shape[:2])
+    alpha[: mask.shape[0]] = mask[:, :, 3] / 255.0
+    out = (img * alpha[:, :, np.newaxis]).astype(np.uint8)
+    kept = alpha[:, 0] == 1.0
+    assert (out[kept] == img[kept]).all()
+    assert (out[~kept] == 0).all()
+    assert kept.any() and (~kept).any()
+
+
+def test_mask_size_guard():
+    """A mask taller than the image's content extent cannot apply —
+    reference shape check core/run.py:396-399 == mask_regions None."""
+    ref = "mem://guard/1"
+    img_bytes = RI.render_media_image(ref)
+    tag, app, n_blocks = RI.read_header(RI.decode_image(img_bytes))
+    need = 8 if tag.startswith(S.TRAFFIC_PREFIX) else len(S.TAG_FIELDS[tag])
+    for order in range(S.N_MASKS):
+        mask = RI.decode_image(RI.render_mask(tag, order))
+        guard_trips = mask.shape[0] > (RI.HEADER_BANDS + n_blocks) * RI.BH
+        assert guard_trips == (S.mask_regions(tag, order, n_blocks) is None)
+    assert need > 0
+
+
+def test_mask_library_dim_table(spark):
+    df = mask_library_df(spark)
+    assert df.columns == ["app", "hw", "tag", "mask_order", "mask_bytes"]
+    rows = df.count()
+    assert rows == 2 * len(S.TAGS) * S.N_MASKS
+    bc = broadcast_mask_library(spark)
+    assert len(bc.value[("xhs", "default", S.TAGS[0])]) == S.N_MASKS
+
+
+def test_engine_follows_bytes_not_ref(spark):
+    """Tamper test: give ref A the payload rendered for ref B — the
+    pipeline's output text must be B's (the engine consumed pixels)."""
+    # pick two refs whose extractions both succeed and differ
+    ok = []
+    for i in range(100):
+        r = f"mem://tamper/{i}"
+        if S.extract_media_span(r) is not None:
+            ok.append(r)
+        if len(ok) == 2 and S.extract_media_span(ok[0]) != S.extract_media_span(ok[1]):
+            break
+    ref_a, ref_b = ok[0], ok[1]
+    assert S.extract_media_span(ref_a) != S.extract_media_span(ref_b)
+    docs = spark.createDataFrame(
+        [
+            (
+                "d1",
+                [
+                    {
+                        "kind": "media",
+                        "text": "",
+                        "media_ref": ref_a,
+                        "offset": 0,
+                        "media_bytes": RI.render_media_image(ref_b),
+                    }
+                ],
+            )
+        ],
+        "doc_id string, spans array<struct<kind string, text string, "
+        "media_ref string, offset int, media_bytes binary>>",
+    )
+    out = extract_spans_flat(docs).collect()
+    assert len(out) == 1
+    assert out[0]["text"] == S.extract_media_span(ref_b)
+    assert out[0]["media_ref"] == ref_a  # ref column is metadata, not input
+
+
+def test_attach_media_bytes_payloads(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    corpus = attach_media_bytes(corpus_from_documents(docs))
+    media = (
+        corpus.select(F.explode("spans").alias("s"))
+        .where(F.col("s.kind") == "media")
+        .select(F.length("s.media_bytes").alias("len"))
+    )
+    stats = media.agg(
+        F.count("*").alias("n"), F.min("len").alias("lo"), F.max("len").alias("hi")
+    ).collect()[0]
+    assert stats["n"] > 0
+    assert stats["lo"] is not None and stats["lo"] > 0
+
+
+def test_generate_corpus_carries_bytes(spark):
+    docs = generate_corpus(spark, 30, partitions=4)
+    media = (
+        docs.select(F.explode("spans").alias("s"))
+        .where(F.col("s.kind") == "media")
+    )
+    n_null = media.where(F.col("s.media_bytes").isNull()).count()
+    assert n_null == 0

@@ -28,8 +28,9 @@ import uuid
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.storagelevel import StorageLevel
 
-from .pipeline import extract_spans_with_deadletter
+from .pipeline import _extracted
 
 
 class CheckpointedExtraction:
@@ -103,16 +104,37 @@ class CheckpointedExtraction:
         todo = sorted(set(range(self.n_buckets)) - done)
         wave_size = max(1, (len(todo) + self.waves - 1) // self.waves) if todo else 1
 
+        bucket_expr = F.pmod(F.xxhash64("doc_id"), F.lit(self.n_buckets)).cast(
+            "int"
+        ).alias("bucket")
+
         for w in range(0, len(todo), wave_size):
             if fail_after_waves is not None and w // wave_size >= fail_after_waves:
                 raise RuntimeError("simulated crash between waves")
             wave_buckets = todo[w : w + wave_size]
             t0 = time.time()
             wave_docs = bucketed.where(F.col("bucket").isin(wave_buckets))
-            ok, dead = extract_spans_with_deadletter(wave_docs.select("doc_id", "spans"))
-            out = ok.join(wave_docs.select("doc_id", "bucket"), on="doc_id", how="left")
-            dead_out = dead.join(
-                wave_docs.select("doc_id", "bucket"), on="doc_id", how="left"
+            # ONE pipeline computation per wave: the routed frame is
+            # persisted (a wave is the sized-to-fit unit of work, so its
+            # footprint is bounded by construction), then the ok/dead
+            # splits, both writes, and the lineage aggregates all read the
+            # cache — the OCR stage never re-executes, and nothing re-reads
+            # the output directories (round-1 verdict item 6: at 10^12 docs
+            # that re-read scans everything written so far, per wave).
+            # bucket is re-derived from doc_id (deterministic hash), not
+            # joined back — two shuffle joins gone.
+            ex = _extracted(wave_docs.select("doc_id", "spans"), None).persist(
+                StorageLevel.MEMORY_AND_DISK
+            )
+            out = ex.where(F.col("text").isNotNull()).select(
+                "doc_id", "kind", "text", "media_ref",
+                F.col("offset").alias("order"), bucket_expr,
+            )
+            dead_out = ex.where(
+                (F.col("kind") == "media") & F.col("text").isNull()
+            ).select(
+                "doc_id", "media_ref", F.col("offset").alias("order"),
+                F.lit("all_masks_failed").alias("reason"), bucket_expr,
             )
             # dynamic overwrite: only this wave's bucket partitions are
             # replaced, so re-running a bucket after a mid-wave crash (data
@@ -130,26 +152,20 @@ class CheckpointedExtraction:
             # resume decisions use)
             stats = {
                 r["bucket"]: (r["rows_out"], r["docs_in"])
-                for r in self.spark.read.parquet(self.data_dir)
-                .where(F.col("bucket").isin(wave_buckets))
-                .groupBy("bucket")
+                for r in out.groupBy("bucket")
                 .agg(
                     F.count("*").alias("rows_out"),
                     F.countDistinct("doc_id").alias("docs_in"),
                 )
                 .collect()
             }
-            try:
-                dead_stats = {
-                    r["bucket"]: r["dead_out"]
-                    for r in self.spark.read.parquet(self.dead_dir)
-                    .where(F.col("bucket").isin(wave_buckets))
-                    .groupBy("bucket")
-                    .agg(F.count("*").alias("dead_out"))
-                    .collect()
-                }
-            except Exception:  # zero dead letters so far -> schemaless dir
-                dead_stats = {}
+            dead_stats = {
+                r["bucket"]: r["dead_out"]
+                for r in dead_out.groupBy("bucket")
+                .agg(F.count("*").alias("dead_out"))
+                .collect()
+            }
+            ex.unpersist()
             self._append_lineage(
                 [
                     {

@@ -32,6 +32,9 @@ SPAN_SCHEMA = T.StructType(
         T.StructField("text", T.StringType()),
         T.StructField("media_ref", T.StringType()),
         T.StructField("offset", T.IntegerType()),
+        # raw RGBA screenshot payload (media spans only; see raw_image.py).
+        # Binary flows Arrow-batched end-to-end — no temp files (K6).
+        T.StructField("media_bytes", T.BinaryType()),
     ]
 )
 DOCS_SCHEMA = T.StructType(
@@ -73,8 +76,17 @@ def corpus_rows(i: int) -> tuple[str, list[dict]]:
         hj = _h64(f"gen:{doc_id}:{j}")
         is_media = (hj % 3 == 0) or (heavy and j % 4 != 0)
         if is_media:
+            from .raw_image import render_media_image
+
+            ref = f"mem://{doc_id}/{j}"
             spans.append(
-                {"kind": "media", "text": "", "media_ref": f"mem://{doc_id}/{j}", "offset": j}
+                {
+                    "kind": "media",
+                    "text": "",
+                    "media_ref": ref,
+                    "offset": j,
+                    "media_bytes": render_media_image(ref),
+                }
             )
         else:
             n_words = 5 + hj % 12
@@ -88,7 +100,13 @@ def corpus_rows(i: int) -> tuple[str, list[dict]]:
                 ]
                 words = boiler + words
             spans.append(
-                {"kind": "text", "text": " ".join(words), "media_ref": "", "offset": j}
+                {
+                    "kind": "text",
+                    "text": " ".join(words),
+                    "media_ref": "",
+                    "offset": j,
+                    "media_bytes": None,
+                }
             )
     return doc_id, spans
 
@@ -143,6 +161,7 @@ def corpus_from_documents(documents: DataFrame, chunk_words: int = 7) -> DataFra
                     "media_ref"
                 ),
                 j.cast("int").alias("offset"),
+                F.lit(None).cast("binary").alias("media_bytes"),
             ),
         ).otherwise(
             F.struct(
@@ -150,7 +169,37 @@ def corpus_from_documents(documents: DataFrame, chunk_words: int = 7) -> DataFra
                 chunk.alias("text"),
                 F.lit("").alias("media_ref"),
                 j.cast("int").alias("offset"),
+                F.lit(None).cast("binary").alias("media_bytes"),
             )
         ),
     )
     return d.select("doc_id", spans.alias("spans"))
+
+
+def attach_media_bytes(docs: DataFrame, noise_rows: int = 0) -> DataFrame:
+    """Datagen stage: render the raw RGBA payload for every media span
+    (raw_image.render_media_image). Python by necessity — image synthesis
+    is input generation, not engine work; real deployments read tables
+    that already carry the bytes, so benchmarks materialize this once
+    (bench.staged_corpus) and never measure it."""
+
+    def render(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .raw_image import render_media_image
+
+        for pdf in batches:
+            new_spans = []
+            for spans in pdf["spans"]:
+                row = []
+                for s in spans:
+                    s = dict(s)
+                    if s["kind"] == "media":
+                        s["media_bytes"] = render_media_image(
+                            s["media_ref"], noise_rows=noise_rows
+                        )
+                    else:
+                        s["media_bytes"] = None
+                    row.append(s)
+                new_spans.append(row)
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "spans": new_spans})
+
+    return docs.mapInPandas(render, schema=DOCS_SCHEMA)

@@ -9,7 +9,16 @@ BASELINE.json correctness gate.
 
 from __future__ import annotations
 
+from functools import lru_cache
+
 from .semantics import classify_text_span, extract_media_span
+
+
+@lru_cache(maxsize=1)
+def _masks():
+    from .raw_image import mask_library, masks_by_key
+
+    return masks_by_key(mask_library())
 
 
 def extract_document(doc_id: str, spans: list[dict]) -> list[tuple[str, str, str, int]]:
@@ -18,11 +27,22 @@ def extract_document(doc_id: str, spans: list[dict]) -> list[tuple[str, str, str
     Returns ordered list of (kind, text, media_ref, order); order is the
     original span offset; failed media spans (all masks exhausted) and
     boilerplate text spans are dropped, everything else keeps its offset.
+
+    Media spans carrying a raw RGBA payload go through the BYTES path
+    (mask composite + pixel decode, raw_image.extract_from_bytes) — the
+    same route the Spark engine takes — so the e2e equality test proves
+    the distributed pipeline against an oracle that consumed real bytes.
     """
     out = []
     for s in sorted(spans, key=lambda s: s["offset"]):
         if s["kind"] == "media":
-            txt = extract_media_span(s["media_ref"])
+            payload = s.get("media_bytes")
+            if payload:
+                from .raw_image import extract_from_bytes
+
+                txt = extract_from_bytes(bytes(payload), _masks())
+            else:
+                txt = extract_media_span(s["media_ref"])
             if txt is not None:
                 out.append(("media", txt, s["media_ref"], s["offset"]))
         else:

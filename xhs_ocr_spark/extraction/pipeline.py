@@ -2,23 +2,33 @@
 
 Plan shape (designed for 100 TB / 1000 executors, tested on local[N]):
 
-    docs (Iceberg/parquet scan, doc_id + spans)
-      ├─ posexplode(spans) ................ narrow, stays in scan stage
-      ├─ kind='text'  → vectorized boilerplate classifier
-      │                 (built-in column fns only: split/filter/size —
-      │                  whole-stage codegen, zero Python)
-      ├─ kind='media' → repartition(doc_id, offset)   [skew spread: a
-      │                 media-heavy doc's spans land on MANY partitions]
-      │                 → mapInPandas OCR stage (engine initialized once
-      │                 per python worker, reused across Arrow batches —
-      │                 reference spawns one subprocess per PROCESS and
-      │                 funnels every image through one temp file,
-      │                 core/run.py:407; here: no disk, no IPC, batched)
-      └─ unionByName → groupBy(doc_id) + sort_array(collect_list(...))
-                       restores original span order by offset (O7).
+    docs (Iceberg/parquet scan, doc_id + spans) ... scanned ONCE
+      → explode(spans) .................... narrow, stays in scan stage
+      → repartition(doc_id, offset)        [exchange #1: spreads skew — a
+      │                                     media-heavy doc's spans land
+      │                                     on MANY partitions]
+      → COLUMN-level routing in one linear stage (no row branch, no
+      │ union — round-1 verdict: the old per-kind branch filters pushed
+      │ below the exchange and produced TWO parquet scans + duplicated
+      │ span derivation; exchange reuse can't save a branched plan once
+      │ pushdown specializes each side's scan):
+      │   text = WHEN kind='media' THEN ocr_udf(media_ref)
+      │          ELSE <vectorized boilerplate classifier expression>
+      │   - classifier: built-in column fns only (split/filter/size),
+      │     whole-stage codegen, zero Python, NULL = boilerplate-dropped
+      │   - ocr_udf: Arrow-batched scalar pandas UDF; Spark ships ONLY
+      │     the media_ref column to the python worker (a null per text
+      │     span), the engine is initialized once per worker and reused
+      │     across batches (reference spawns one subprocess per PROCESS
+      │     and funnels every image through one temp file,
+      │     core/run.py:407; here: no disk, no IPC, batched), NULL =
+      │     all-masks-failed (F10 dead letter)
+      → filter text IS NOT NULL
+      → groupBy(doc_id) + sort_array(collect_list(...))   [exchange #2]
+        restores original span order by offset (O7).
 
-Shuffles: exactly 2 (media repartition — needed for skew — and the final
-group-by-doc). The text route reaches the union without any shuffle.
+Shuffles: exactly 2 (the span spread and the final group-by-doc);
+parquet is scanned exactly once (pinned by test_single_scan_plan).
 """
 
 from __future__ import annotations
@@ -80,11 +90,37 @@ class _Engine:
             cls._instance = cls()
         return cls._instance
 
-    def extract_batch(self, media_refs: pd.Series) -> pd.Series:
-        # vectorized over the Arrow batch; a real engine would decode the
-        # image bytes for each ref and run recognition here (U2/U3 bytes
-        # protocol, core/ppocr_api.py:128-140)
-        return media_refs.map(extract_media_span)
+    def extract_batch(
+        self,
+        media_refs: pd.Series,
+        media_bytes: pd.Series | None = None,
+        masks: dict | None = None,
+    ) -> pd.Series:
+        # vectorized over the Arrow batch (U2/U3 bytes protocol,
+        # core/ppocr_api.py:128-140). When the span carries a raw RGBA
+        # payload, the engine DECODES THE BYTES: ordered mask fallback +
+        # alpha composite + OCR over surviving pixel regions
+        # (raw_image.extract_from_bytes = core/run.py:375-501). Spans
+        # without bytes (legacy corpora) fall back to the hash-derived
+        # stand-in; both paths share one semantics definition and are
+        # differential-tested equal.
+        if media_bytes is not None and masks is not None:
+            from .raw_image import extract_from_bytes
+
+            def one(ref, payload):
+                if payload is not None and len(payload) > 0:
+                    return extract_from_bytes(bytes(payload), masks)
+                return extract_media_span(ref) if ref else None
+
+            return pd.Series(
+                [one(r, b) for r, b in zip(media_refs, media_bytes)],
+                index=media_refs.index,
+                dtype=object,
+            )
+        return media_refs.map(extract_media_span, na_action="ignore")
+
+
+_OUT_COLS = ["doc_id", "kind", "text", "media_ref", "offset"]
 
 
 def _ocr_media(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -92,11 +128,41 @@ def _ocr_media(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     for pdf in batches:
         out = pdf.copy()
         out["text"] = engine.extract_batch(pdf["media_ref"])
-        yield out
+        yield out[_OUT_COLS]
+
+
+def _make_ocr_routed(masks_bc):
+    """Unified-stream OCR stage factory: media rows get OCR'd (bytes path
+    when the span carries a payload), text rows pass through untouched
+    (their `text` already holds the JVM classifier output, NULL =
+    boilerplate-dropped). ``masks_bc`` is the broadcast mask library —
+    resolved to its value INSIDE the executor task, once per worker."""
+
+    def ocr_routed(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        engine = _Engine.get()
+        masks = masks_bc.value if masks_bc is not None else None
+        for pdf in batches:
+            out = pdf
+            media = pdf["kind"].to_numpy() == "media"
+            if media.any():
+                out = pdf.copy()
+                out.loc[media, "text"] = engine.extract_batch(
+                    pdf.loc[media, "media_ref"],
+                    pdf.loc[media, "media_bytes"]
+                    if "media_bytes" in pdf.columns
+                    else None,
+                    masks,
+                )
+            yield out[_OUT_COLS]
+
+    return ocr_routed
 
 
 def explode_spans(docs: DataFrame) -> DataFrame:
-    """(doc_id, spans) -> flat (doc_id, kind, text, media_ref, offset)."""
+    """(doc_id, spans) -> flat (doc_id, kind, text, media_ref, offset,
+    media_bytes). Legacy corpora without the binary payload field get a
+    NULL media_bytes column (the engine falls back to the ref path)."""
+    span_fields = {f.name for f in docs.schema["spans"].dataType.elementType.fields}
     s = docs.select("doc_id", F.explode("spans").alias("s"))
     return s.select(
         "doc_id",
@@ -104,47 +170,60 @@ def explode_spans(docs: DataFrame) -> DataFrame:
         F.col("s.text").alias("text"),
         F.col("s.media_ref").alias("media_ref"),
         F.col("s.offset").alias("offset"),
+        (
+            F.col("s.media_bytes")
+            if "media_bytes" in span_fields
+            else F.lit(None).cast("binary")
+        ).alias("media_bytes"),
+    )
+
+
+def classify_text_expr(text_col) -> "F.Column":
+    """Vectorized boilerplate classifier as ONE column expression — mirror
+    of semantics.classify_text_span using only built-in column functions:
+    normalized text, or NULL when the span is empty/boilerplate.
+
+    NB: .isin compiles to a static InSet; an F.array(...) literal here
+    would be re-allocated on EVERY lambda invocation (per word) in
+    interpreted HOF evaluation — measured as a GC-bound serial ceiling."""
+    ws = F.filter(F.split(text_col, r"\s+"), lambda w: w != "")
+    boiler = sorted(BOILERPLATE_TOKENS)
+    hits = F.size(F.filter(ws, lambda w: w.isin(boiler)))
+    return F.when(
+        (F.size(ws) > 0) & (hits / F.size(ws) <= F.lit(BOILERPLATE_MAX_RATIO)),
+        F.concat_ws(" ", ws),
     )
 
 
 def classify_text_route(flat_text: DataFrame) -> DataFrame:
-    """Vectorized boilerplate classifier — mirror of
-    semantics.classify_text_span using only built-in column functions."""
-    # project __words ONCE, then derive hits/ratio from the column
-    # reference — inlining the split into each consumer would re-tokenize
-    # every span per use (same expression-duplication trap as minhash).
-    # NB: .isin compiles to a static InSet; an F.array(...) literal here
-    # would be re-allocated on EVERY lambda invocation (per word) in
-    # interpreted HOF evaluation — measured as a GC-bound serial ceiling.
-    words_expr = F.filter(F.split(F.col("text"), r"\s+"), lambda w: w != "")
-    boiler = sorted(BOILERPLATE_TOKENS)
-    with_words = flat_text.withColumn("__words", words_expr)
-    wcol = F.col("__words")
-    hits = F.size(F.filter(wcol, lambda w: w.isin(boiler)))
-    return (
-        with_words.where(F.size(wcol) > 0)
-        .where(hits / F.size(wcol) <= F.lit(BOILERPLATE_MAX_RATIO))
-        .withColumn("text", F.concat_ws(" ", wcol))
-        .drop("__words")
-    )
+    """Row-level wrapper (standalone use): keep survivors, rewrite text."""
+    return flat_text.withColumn(
+        "text", classify_text_expr(F.col("text"))
+    ).where(F.col("text").isNotNull())
 
 
 def ocr_media_route(
     flat_media: DataFrame,
     spread_partitions: int | None = None,
     keep_failures: bool = False,
+    pre_spread: bool = False,
 ) -> DataFrame:
     """Media spans through the batched OCR stage.
 
     repartition by (doc_id, offset): each span is independent, so a
     media-heavy document fans out across partitions instead of pinning one
     executor (skew handling per north_star; AQE coalesces the tail).
+    ``pre_spread=True`` skips it — the extract_spans* pipelines already
+    spread ALL spans behind the single shared exchange.
 
     ``keep_failures=False`` drops all-masks-failed spans (the reference
     logs and skips, core/run.py:499-501); ``True`` keeps them with NULL
     text so callers can route them to a dead-letter table."""
-    parts = spread_partitions or flat_media.sparkSession.sparkContext.defaultParallelism * 2
-    spread = flat_media.repartition(parts, "doc_id", "offset")
+    if pre_spread:
+        spread = flat_media
+    else:
+        parts = spread_partitions or flat_media.sparkSession.sparkContext.defaultParallelism * 2
+        spread = flat_media.repartition(parts, "doc_id", "offset")
     done = spread.mapInPandas(_ocr_media, schema=_FLAT_SCHEMA)
     if keep_failures:
         return done
@@ -177,21 +256,63 @@ def reassemble(extracted_flat: DataFrame) -> DataFrame:
     )
 
 
+def _spread_flat(docs: DataFrame, spread_partitions: int | None) -> DataFrame:
+    """Explode once and place the ONE shared exchange: both routes branch
+    off this shuffle output, so parquet is scanned and spans derived
+    exactly once (round-1 verdict item 5 — the old per-branch filters
+    produced two full scans + duplicated derivation)."""
+    parts = spread_partitions or docs.sparkSession.sparkContext.defaultParallelism * 2
+    return explode_spans(docs).repartition(parts, "doc_id", "offset")
+
+
+def _extracted(docs: DataFrame, spread_partitions: int | None) -> DataFrame:
+    """Single-scan unified routing: flat spans with `text` rewritten to the
+    route result, NULL = boilerplate-dropped (text) or all-masks-failed
+    (media).
+
+    Plan discipline (round-1 verdict item 5 — the old per-kind branch +
+    union scanned parquet twice because Catalyst pushed each branch's kind
+    filter below the shared exchange, specializing both scan subtrees;
+    optimizer-barrier tricks like nondeterministic guards either got
+    constant-folded or disabled codegen wholesale, measured 2-5x slower):
+
+    - the classifier runs ONCE per span, JVM-side, in the Project directly
+      below the Python stage (text column = classifier output for text
+      rows, untouched for media rows);
+    - ONE mapInPandas consumes the whole stream: media rows get OCR'd
+      (vectorized mask per Arrow batch), text rows pass through;
+    - downstream NULL filters stop at the Python barrier (Catalyst never
+      pushes predicates below a python eval), so nothing re-executes.
+
+    One parquet scan, one spread exchange, one python stage, no union."""
+    from ..sources.mask_library import broadcast_mask_library
+
+    flat = _spread_flat(docs, spread_partitions)
+    staged = flat.select(
+        "doc_id",
+        "kind",
+        F.when(
+            F.col("kind") == "text", classify_text_expr(F.col("text"))
+        ).alias("text"),
+        "media_ref",
+        "offset",
+        "media_bytes",
+    )
+    masks_bc = broadcast_mask_library(docs.sparkSession)
+    return staged.mapInPandas(_make_ocr_routed(masks_bc), schema=_FLAT_SCHEMA)
+
+
 def extract_spans(docs: DataFrame, spread_partitions: int | None = None) -> DataFrame:
     """Full pipeline: (doc_id, spans) -> (doc_id, spans_out)."""
-    flat = explode_spans(docs)
-    text_done = classify_text_route(flat.where(F.col("kind") == "text"))
-    media_done = ocr_media_route(flat.where(F.col("kind") == "media"), spread_partitions)
-    return reassemble(text_done.unionByName(media_done))
+    ok = _extracted(docs, spread_partitions).where(F.col("text").isNotNull())
+    return reassemble(ok)
 
 
 def extract_spans_flat(docs: DataFrame, spread_partitions: int | None = None) -> DataFrame:
     """Flat variant: one row per surviving span (doc_id, kind, text,
     media_ref, order) — handy for SQL-shaped comparisons and sinks."""
-    flat = explode_spans(docs)
-    text_done = classify_text_route(flat.where(F.col("kind") == "text"))
-    media_done = ocr_media_route(flat.where(F.col("kind") == "media"), spread_partitions)
-    return text_done.unionByName(media_done).select(
+    ok = _extracted(docs, spread_partitions).where(F.col("text").isNotNull())
+    return ok.select(
         "doc_id", "kind", "text", "media_ref", F.col("offset").alias("order")
     )
 
@@ -203,16 +324,18 @@ def extract_spans_with_deadletter(
 
     dead_letter = media spans whose every mask failed the status/arity
     gates (doc_id, media_ref, order, reason) — at 10^12 docs these feed a
-    triage table, not a log file."""
-    flat = explode_spans(docs)
-    text_done = classify_text_route(flat.where(F.col("kind") == "text"))
-    media_all = ocr_media_route(
-        flat.where(F.col("kind") == "media"), spread_partitions, keep_failures=True
-    )
-    ok = text_done.unionByName(media_all.where(F.col("text").isNotNull())).select(
+    triage table, not a log file.
+
+    The two outputs share one lazy computation; a caller that ACTIONS both
+    should persist (or use CheckpointedExtraction, which persists per
+    wave) so the OCR stage runs once."""
+    ex = _extracted(docs, spread_partitions)
+    ok = ex.where(F.col("text").isNotNull()).select(
         "doc_id", "kind", "text", "media_ref", F.col("offset").alias("order")
     )
-    dead = media_all.where(F.col("text").isNull()).select(
+    dead = ex.where(
+        (F.col("kind") == "media") & F.col("text").isNull()
+    ).select(
         "doc_id",
         "media_ref",
         F.col("offset").alias("order"),

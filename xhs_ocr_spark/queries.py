@@ -837,14 +837,17 @@ SELECT q_id, n_id, CAST(rank AS BIGINT) AS rank FROM (
 
 def q_extract_flagship(spark, sf):
     """Full interleaved extraction over a corpus derived from documents:
-    media route (mapInPandas OCR) + text route + offset re-merge.
+    media route (mapInPandas OCR over raw RGBA payloads: mask composite +
+    pixel decode) + text route + offset re-merge.
     No SQL oracle (engine semantics live in Python); pytest checks it
     against the reference oracle instead."""
+    from .extraction.datagen import attach_media_bytes
+
     parts = spark.sparkContext.defaultParallelism * 2
     docs = corpus_from_documents(
         _t(spark, sf, "documents").repartition(parts, "doc_id")
     )
-    return extract_spans_flat(docs)
+    return extract_spans_flat(attach_media_bytes(docs))
 
 
 # ---------------------------------------------------------------------------
