@@ -120,6 +120,25 @@ def main() -> None:
         timings[name] = round(time.time() - t0, 3)
     timings["q30_extract_flagship"] = round(extract_sec, 3)
 
+    # ---- IVF recall@3 vs brute-force ground truth (same query set) ----
+    from xhs_ocr_spark.operators import simsearch as SS
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q_df = emb.where(F.col("vec_id") < 5)
+    truth = {
+        (r["q_id"], r["n_id"]) for r in SS.cosine_topk(emb, q_df, k=3).collect()
+    }
+    cents = SS.fit_centroids_spark(emb)
+
+    def _recall(nprobe: int) -> float:
+        got = {
+            (r["q_id"], r["n_id"])
+            for r in SS.ivf_topk_kmeans(emb, q_df, cents, k=3, nprobe=nprobe).collect()
+        }
+        return round(len(got & truth) / len(truth), 3)
+
+    ivf_recall = {"nprobe1": _recall(1), "nprobe2": _recall(2)}
+
     print(
         json.dumps(
             {
@@ -132,6 +151,7 @@ def main() -> None:
                 "out_rows": out_rows,
                 "cores": cores,
                 "replicate": replicate,
+                "ivf_recall_at_3": ivf_recall,
             }
         )
     )

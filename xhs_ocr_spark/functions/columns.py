@@ -70,3 +70,56 @@ def rename_with_mapping(df: DataFrame, mapping: dict[str, str]) -> DataFrame:
     """X13/X14: bulk column rename per field-mapping registry
     (db/data_sync.py:142-148; config.ini [fields])."""
     return df.select([F.col(c).alias(mapping.get(c, c)) for c in df.columns])
+
+
+def unescape_link(link: Column) -> Column:
+    """X12: note links are filesystem-escaped with '*' standing in for '/'
+    in screenshot filenames (core/run.py:517 splits the name, :647 does
+    ``note_link.replace('*', "/")``)."""
+    return F.replace(link, F.lit("*"), F.lit("/"))
+
+
+def source_type_col(app: Column) -> Column:
+    """X15: per-app data-source constant injected into every user-info
+    upsert (db/__init__.py:46-50: xhs/weibo ids, empty otherwise)."""
+    return (
+        F.when(app == F.lit("xhs"), F.lit("1894230222988058625"))
+        .when(app == F.lit("weibo"), F.lit("1948663593734004737"))
+        .otherwise(F.lit(""))
+    )
+
+
+# The reference's bilingual field registry (config.ini:14-55 [fields]):
+# english identifier -> chinese storage column. db/data_sync.py:142-148
+# maps the CHINESE sqlite column names to english when syncing to MySQL,
+# i.e. the runtime direction is CN -> EN (FIELD_MAPPING_CN2EN); tables
+# written by the OCR loop use the chinese names (db/__init__.py:40-55).
+FIELD_MAPPING_EN2CN: dict[str, str] = {
+    "id": "数据ID",
+    "device_ip": "设备IP",
+    "title": "作品标题",
+    "collection_date": "采集日期",
+    "collection_time": "采集时间",
+    "account_id": "账号ID",
+    "url": "链接",
+    "type": "内容类型",
+    "exposure_count": "曝光数",
+    "view_count": "观看数",
+    "click_rate": "封面点击率",
+    "avg_watch_duration": "平均观看时长",
+    "exit_rate_2s": "2秒退出率",
+    "followers_gained": "涨粉数",
+    "likes": "点赞数",
+    "comments": "评论数",
+    "collects": "收藏数",
+    "shares": "分享数",
+    "source_type": "数据来源",
+    "follows": "关注数",
+    "fans": "粉丝数",
+    "interaction": "获赞与收藏",
+    "nickname": "账号昵称",
+    "source_homepage": "观看来源-首页推荐",
+    "completion_rate": "完播率",
+    "bullet": "弹幕数",
+}
+FIELD_MAPPING_CN2EN: dict[str, str] = {v: k for k, v in FIELD_MAPPING_EN2CN.items()}

@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import logging
 
+import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
@@ -218,6 +219,45 @@ def simhash(text_col, bits: int = 16):
     for j, vote in enumerate(bit_votes):
         out = out + F.when(vote > 0, F.lit(2**j).cast("long")).otherwise(F.lit(0).cast("long"))
     return out
+
+
+def simhash64_hex(text_col):
+    """64-bit SimHash as a 16-hex-char string, via an Arrow-batched pandas
+    UDF — the documented escape hatch for when the per-bit expression tree
+    (64 aggregates over the word array) outgrows codegen; the 16-bit
+    expression variant (simhash) stays as the pure-expression form.
+
+    Portable definition (the DuckDB twin recomputes it bit-for-bit):
+    word hash = first 16 md5 hex chars as uint64; bit j of the output is
+    the sign of sum over words of (+1 if bit j of hash else -1); output
+    is the 64-bit value zero-padded to 16 lowercase hex chars. Hex-string
+    output sidesteps BIGINT-vs-HUGEINT signedness across engines."""
+
+    @F.pandas_udf("string")
+    def sh64(texts: pd.Series) -> pd.Series:
+        import hashlib
+        import re
+
+        ws_re = re.compile(r"\s+", re.ASCII)
+
+        def one(t):
+            if t is None:
+                return None
+            words_ = [w for w in ws_re.split(t) if w]
+            votes = [0] * 64
+            for w in words_:
+                h = int(hashlib.md5(w.encode("utf-8")).hexdigest()[:16], 16)
+                for j in range(64):
+                    votes[j] += 1 if (h >> j) & 1 else -1
+            v = 0
+            for j in range(64):
+                if votes[j] > 0:
+                    v |= 1 << j
+            return format(v, "016x")
+
+        return texts.map(one)
+
+    return sh64(text_col)
 
 
 def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:

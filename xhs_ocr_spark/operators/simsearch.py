@@ -146,6 +146,117 @@ def ivf_topk(
     )
 
 
+SAMPLE_MOD = 7  # vec_id % SAMPLE_MOD == 0 -> k-means training sample
+KMEANS_ITERS = 8
+
+
+def kmeans_centroids(X, k: int, iters: int = KMEANS_ITERS) -> list[list[float]]:
+    """Deterministic Lloyd k-means over a sample matrix (numpy, driver
+    side). Init = k rows evenly strided through the (vec_id-sorted)
+    sample; assignment = max dot product (the IVF coarse-quantizer
+    metric, so fitting and assignment agree); empty cells keep their
+    previous centroid. No RNG, no wall clock — the DuckDB oracle refits
+    from the same hash-defined sample and gets bit-identical centroids."""
+    import numpy as np
+
+    X = np.asarray(X, dtype=np.float64)
+    idx = [int(i * len(X) / k) for i in range(k)]
+    C = X[idx].copy()
+    for _ in range(iters):
+        assign = np.argmax(X @ C.T, axis=1)
+        for c in range(k):
+            members = X[assign == c]
+            if len(members):
+                C[c] = members.mean(axis=0)
+    return [[float(v) for v in row] for row in C]
+
+
+def fit_centroids_spark(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = N_CELLS,
+    sample_mod: int = SAMPLE_MOD,
+) -> list[list[float]]:
+    """Sampled k-means fit, Spark path: hash-defined sample (vec_id %
+    sample_mod == 0 — deterministic and partitioning-independent, unlike
+    df.sample), collected ordered to the driver (a bounded ~10-100k
+    vectors regardless of corpus size — the standard IVF practice), fitted
+    with kmeans_centroids."""
+    rows = (
+        df.where(F.col(id_col) % sample_mod == 0)
+        .orderBy(id_col)
+        .select(vec_col)
+        .collect()
+    )
+    return kmeans_centroids([r[0] for r in rows], n_cells)
+
+
+def cell_assign(vec_col, centroids: list[list[float]]):
+    """argmax-dot cell over explicit centroid literals (first max wins —
+    same tie rule as numpy argmax and DuckDB list_position)."""
+    dots = F.array(
+        *[dot(vec_col, F.array([F.lit(v) for v in c])) for c in centroids]
+    )
+    return (F.array_position(dots, F.array_max(dots)) - 1).cast("int")
+
+
+def probe_cells(vec_col, centroids: list[list[float]], nprobe: int):
+    """The nprobe nearest cells for a query (by dot, descending; ties by
+    cell index). array<int> of length min(nprobe, n_cells)."""
+    ranked = F.sort_array(
+        F.array(
+            *[
+                F.struct(
+                    (-dot(vec_col, F.array([F.lit(v) for v in c]))).alias("nd"),
+                    F.lit(i).cast("int").alias("cell"),
+                )
+                for i, c in enumerate(centroids)
+            ]
+        )
+    )
+    return F.transform(F.slice(ranked, 1, nprobe), lambda s: s["cell"])
+
+
+def ivf_topk_kmeans(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 3,
+    nprobe: int = 1,
+) -> DataFrame:
+    """IVF top-k with fitted centroids and multi-cell probing: corpus
+    vectors are assigned once (argmax dot); each query probes its nprobe
+    nearest cells and scores only those inverted lists. Raising nprobe
+    trades compute for recall — the standard IVF knob. Query side stays
+    broadcast; the corpus is exchanged once on cell."""
+    parts = corpus.sparkSession.sparkContext.defaultParallelism * 2
+    c = (
+        corpus.select(F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_vec"))
+        .repartition(parts, "n_id")
+        .select("n_id", "n_vec", cell_assign(F.col("n_vec"), centroids).alias("cell"))
+        .repartition(parts, "cell")
+    )
+    q = queries.select(
+        F.col(id_col).alias("q_id"),
+        F.col(vec_col).alias("q_vec"),
+        F.explode(probe_cells(F.col(vec_col), centroids, nprobe)).alias("cell"),
+    )
+    scored = (
+        c.join(F.broadcast(q), on="cell")
+        .where(F.col("n_id") != F.col("q_id"))
+        .select("q_id", "n_id", cosine(F.col("q_vec"), F.col("n_vec")).alias("cos"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("n_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("q_id", "n_id", F.col("rank").cast("long").alias("rank"))
+    )
+
+
 def lsh_near_neighbors(
     df: DataFrame,
     id_col: str = "vec_id",

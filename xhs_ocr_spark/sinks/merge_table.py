@@ -111,3 +111,34 @@ class ParquetMergeTable:
             return
         cur, updates = self._align(cur, updates)
         self._commit(cur.unionByName(updates))
+
+    # -- retention (K7) ---------------------------------------------------------
+
+    def snapshot_ids(self) -> list[int]:
+        try:
+            return sorted(int(d) for d in os.listdir(self._snap_dir) if d.isdigit())
+        except FileNotFoundError:
+            return []
+
+    def expire_snapshots(self, keep_n: int = 2) -> list[int]:
+        """K7 retention: delete all but the newest ``keep_n`` snapshots
+        and never the one LATEST points to. Iceberg:
+        ``CALL system.expire_snapshots(table, retain_last => keep_n)``.
+
+        Reference analog: social_ocr.py:31-53 prunes collected artifacts
+        older than the retention window; here expiry is metadata-only —
+        readers pinned to LATEST are unaffected (snapshot isolation), and
+        a crash mid-expiry just leaves extra directories for the next run.
+        Returns the expired snapshot ids."""
+        import shutil
+
+        keep_n = max(1, keep_n)
+        latest = self._latest_id()
+        ids = self.snapshot_ids()
+        keep = set(ids[-keep_n:])
+        if latest is not None:
+            keep.add(latest)
+        expired = [i for i in ids if i not in keep]
+        for i in expired:
+            shutil.rmtree(os.path.join(self._snap_dir, f"{i:06d}"), ignore_errors=True)
+        return expired
