@@ -1034,6 +1034,143 @@ SELECT doc_id, {hex_expr} AS sh64 FROM hsx
 """
 
 
+def _sidecar_table(spark, sf):
+    """Synthesized sidecar rows (filename, app, account_id, device_ip,
+    collect_date, props) covering all five reference flavors
+    (core/run.py:208-341), derived deterministically from documents."""
+    d = _t(spark, sf, "documents")
+    flavor = F.col("doc_id") % 5
+    filename = (
+        F.when(flavor == 0, F.lit("user_info.json"))
+        .when(flavor == 1, F.lit("post_data.json"))
+        .when(flavor == 2, F.lit("weibo_data.json"))
+        .when(flavor == 3, F.lit("user_info.json"))
+        .otherwise(F.lit("profile_url.json"))
+    )
+    app = (
+        F.when(flavor.isin(0, 1), F.lit("tiktok"))
+        .when(flavor.isin(2, 3), F.lit("weibo"))
+        .otherwise(F.lit("xhs"))
+    )
+    nickname = F.when(F.col("doc_id") % 13 == 0, F.lit("")).otherwise(
+        F.concat(F.lit("nick"), (F.col("doc_id") % 97).cast("string"))
+    )
+    cn = F.when(
+        F.col("doc_id") % 2 == 0,
+        F.concat(((F.col("doc_id") % 90) / 10.0 + 1).cast("string"), F.lit("万")),
+    ).otherwise((F.col("doc_id") % 500).cast("string"))
+    ui_json = F.to_json(
+        F.struct(
+            F.concat(F.lit("https://t/"), F.col("doc_id").cast("string")).alias("share_link"),
+            nickname.alias("nickname"),
+            (F.col("doc_id") % 500).cast("string").alias("follow_count"),
+            (F.col("doc_id") % 9000).cast("string").alias("follower_count"),
+            (F.col("doc_id") % 70000).cast("string").alias("like_count"),
+        )
+    )
+    xhs_json = F.to_json(
+        F.struct(
+            F.concat(F.lit("https://x/"), F.col("doc_id").cast("string")).alias("user_profile_url"),
+            nickname.alias("nickname"),
+            cn.alias("following_count"),
+            (F.col("doc_id") % 9000).cast("string").alias("fans"),
+            cn.alias("likes_collect_count"),
+        )
+    )
+    posts_json = F.to_json(
+        F.array(
+            F.struct(
+                (F.col("doc_id") * 2).alias("post_id"),
+                F.col("n_chars").cast("long").alias("views"),
+            ),
+            F.struct(
+                (F.col("doc_id") * 2 + 1).alias("post_id"),
+                (F.col("n_chars") * 3).cast("long").alias("views"),
+            ),
+        )
+    )
+    props = (
+        F.when(flavor == 4, xhs_json)
+        .when(flavor.isin(1, 2), posts_json)
+        .otherwise(ui_json)
+    )
+    return d.select(
+        filename.alias("filename"),
+        app.alias("app"),
+        F.concat(F.lit("acct"), (F.col("doc_id") % 50).cast("string")).alias("account_id"),
+        F.concat(F.lit("ip"), (F.col("doc_id") % 7).cast("string")).alias("device_ip"),
+        F.concat(F.lit("2024-01-0"), (F.col("doc_id") % 9 + 1).cast("string")).alias("collect_date"),
+        props.alias("props"),
+    )
+
+
+def q_sidecar_flavors(spark, sf):
+    """The five per-(filename, app) sidecar JSON flavors routed through
+    ONE operator (operators/sidecar.py): per-flavor key mapping, xhs
+    chinese-number conversion, weibo's missing interaction, nickname
+    gate (core/run.py:208-341)."""
+    from .operators.sidecar import route_user_info
+
+    return route_user_info(_sidecar_table(spark, sf))
+
+
+# oracle computes the unified outputs straight from the seed expressions
+# (the JSON round-trip is the Spark side's job; outputs must agree)
+SQL_SIDECAR_FLAVORS = """
+WITH base AS (
+  SELECT doc_id, doc_id % 5 AS flavor,
+         CASE WHEN doc_id % 13 = 0 THEN '' ELSE 'nick' || CAST(doc_id % 97 AS VARCHAR) END AS nickname,
+         CASE WHEN doc_id % 2 = 0
+              THEN CAST((doc_id % 90) / 10.0 + 1 AS VARCHAR) || '万'
+              ELSE CAST(doc_id % 500 AS VARCHAR) END AS cn,
+         'acct' || CAST(doc_id % 50 AS VARCHAR) AS account_id,
+         '2024-01-0' || CAST(doc_id % 9 + 1 AS VARCHAR) AS collect_date
+  FROM documents
+), conv AS (
+  SELECT *, CASE WHEN cn LIKE '%万%' AND TRY_CAST(regexp_replace(cn, '[^0-9.]', '', 'g') AS DOUBLE) IS NOT NULL
+                 THEN CAST(CAST(floor(TRY_CAST(regexp_replace(cn, '[^0-9.]', '', 'g') AS DOUBLE) * 10000) AS BIGINT) AS VARCHAR)
+                 ELSE cn END AS cn_conv
+  FROM base
+)
+SELECT CASE WHEN flavor = 0 THEN 'tiktok' WHEN flavor = 3 THEN 'weibo' ELSE 'xhs' END AS app,
+       account_id, collect_date, nickname,
+       CASE WHEN flavor = 4 THEN cn_conv ELSE CAST(doc_id % 500 AS VARCHAR) END AS follows,
+       CAST(doc_id % 9000 AS VARCHAR) AS fans,
+       CASE WHEN flavor = 4 THEN cn_conv
+            WHEN flavor = 0 THEN CAST(doc_id % 70000 AS VARCHAR)
+            ELSE '' END AS interaction,
+       CASE WHEN flavor = 4 THEN 'https://x/' || CAST(doc_id AS VARCHAR)
+            ELSE 'https://t/' || CAST(doc_id AS VARCHAR) END AS profile_url
+FROM conv WHERE flavor IN (0, 3, 4) AND nickname <> ''
+"""
+
+
+def q_sidecar_posts(spark, sf):
+    """post_data.json / weibo_data.json flavors: list payload exploded,
+    device_ip + collect_time stamped per row (core/run.py:245-278)."""
+    from .operators.sidecar import route_posts
+
+    return route_posts(_sidecar_table(spark, sf))
+
+
+SQL_SIDECAR_POSTS = """
+WITH base AS (
+  SELECT doc_id, n_chars, doc_id % 5 AS flavor,
+         'acct' || CAST(doc_id % 50 AS VARCHAR) AS account_id,
+         'ip' || CAST(doc_id % 7 AS VARCHAR) AS device_ip,
+         '2024-01-0' || CAST(doc_id % 9 + 1 AS VARCHAR) AS collect_time
+  FROM documents WHERE doc_id % 5 IN (1, 2)
+)
+SELECT CASE WHEN flavor = 1 THEN 'tiktok' ELSE 'weibo' END AS app,
+       account_id, device_ip, collect_time,
+       CAST(p.post_id AS BIGINT) AS post_id, CAST(p.views AS BIGINT) AS views
+FROM base, UNNEST([
+  {'post_id': doc_id * 2, 'views': n_chars},
+  {'post_id': doc_id * 2 + 1, 'views': n_chars * 3}
+]) AS t(p)
+"""
+
+
 def _sql_flagship_fixture() -> str:
     """q30's driver oracle (round-2 item 3): the expected flagship output
     precomputed by the shared pure-Python semantics into a parquet fixture
@@ -1088,6 +1225,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q34_field_mapping": q_field_mapping,
         "q35_ivf_kmeans": q_ivf_kmeans,
         "q36_simhash64": q_simhash64,
+        "q37_sidecar_flavors": q_sidecar_flavors,
+        "q38_sidecar_posts": q_sidecar_posts,
     }
 
 
@@ -1130,6 +1269,8 @@ def oracle_sql() -> dict[str, str]:
         "q33_source_type": SQL_SOURCE_TYPE,
         "q34_field_mapping": SQL_FIELD_MAPPING,
         "q36_simhash64": _sql_simhash64(),
+        "q37_sidecar_flavors": SQL_SIDECAR_FLAVORS,
+        "q38_sidecar_posts": SQL_SIDECAR_POSTS,
         # q35 refits centroids from the sf0.01 sample; degrade to a
         # rows-only check if the testdata isn't present in this env
         **(
