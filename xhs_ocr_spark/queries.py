@@ -1171,6 +1171,75 @@ FROM base, UNNEST([
 """
 
 
+def q_media_metadata(spark, sf):
+    """Multimodal decode as a first-class op: header metadata decoded
+    FROM THE PIXELS of every media span's raw-RGBA payload
+    (operators/multimodal.RawRGBACodec). The oracle cross-checks by
+    deriving the same fields arithmetically from media_ref (the payload
+    renderer is a deterministic function of the ref) — bytes in Spark vs
+    arithmetic in DuckDB is a genuine two-sided check."""
+    from .extraction.datagen import attach_media_bytes
+    from .operators.multimodal import raw_media_metadata
+
+    parts = spark.sparkContext.defaultParallelism * 2
+    docs = attach_media_bytes(
+        corpus_from_documents(_t(spark, sf, "documents").repartition(parts, "doc_id"))
+    )
+    media = (
+        docs.select(F.explode("spans").alias("s"))
+        .where(F.col("s.kind") == "media")
+        .select(
+            F.col("s.media_ref").alias("media_ref"),
+            F.col("s.media_bytes").alias("media_bytes"),
+        )
+    )
+    out = raw_media_metadata(media)
+    return out.select(
+        "media_ref", "tag", "app",
+        F.col("n_blocks").cast("long").alias("n_blocks"), "n_bytes",
+    )
+
+
+def _sql_media_metadata() -> str:
+    """Derive (tag, app, n_blocks, n_bytes) arithmetically from media_ref
+    the way semantics.media_tag/media_app/run_standin_ocr do (md5-prefix
+    h64 mod), over the same chunk-derived media refs as q13/q30."""
+    from .extraction.raw_image import BH, HEADER_BANDS, W
+    from .extraction.semantics import TAG_FIELDS, TAGS
+
+    tag_case = " ".join(
+        f"WHEN {i} THEN '{t}'" for i, t in enumerate(TAGS)
+    )
+    need_case = " ".join(
+        f"WHEN '{t}' THEN {8 if t.startswith('note_traffic_analysis') else len(f)}"
+        for t, f in TAG_FIELDS.items()
+    )
+    row_bytes = W * 4 * BH
+    return rf"""
+WITH w AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS ws
+  FROM documents
+), refs AS (
+  SELECT 'mem://' || doc_id || '/' || CAST(g AS VARCHAR) AS media_ref
+  FROM w, UNNEST(generate_series(0, CAST(ceil(len(ws)/7.0) AS BIGINT) - 1)) AS t(g)
+  WHERE g % 3 = 2
+), derived AS (
+  SELECT media_ref,
+         CASE CAST('0x' || substr(md5('tag:' || media_ref), 1, 16) AS UBIGINT) % {len(TAGS)}
+              {tag_case} END AS tag,
+         CASE WHEN CAST('0x' || substr(md5('app:' || media_ref), 1, 16) AS UBIGINT) % 5 = 0
+              THEN 'tiktok' ELSE 'xhs' END AS app,
+         CAST(CAST('0x' || substr(md5('doc:' || media_ref), 1, 16) AS UBIGINT) % 3 AS BIGINT) AS extra
+  FROM refs
+)
+SELECT media_ref, tag, app,
+       (CASE tag {need_case} END) + 2 + extra AS n_blocks,
+       ({HEADER_BANDS} + (CASE tag {need_case} END) + 2 + extra) * {row_bytes} AS n_bytes
+FROM derived
+"""
+
+
 def _sql_flagship_fixture() -> str:
     """q30's driver oracle (round-2 item 3): the expected flagship output
     precomputed by the shared pure-Python semantics into a parquet fixture
@@ -1227,6 +1296,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q36_simhash64": q_simhash64,
         "q37_sidecar_flavors": q_sidecar_flavors,
         "q38_sidecar_posts": q_sidecar_posts,
+        "q39_media_metadata": q_media_metadata,
     }
 
 
@@ -1271,6 +1341,7 @@ def oracle_sql() -> dict[str, str]:
         "q36_simhash64": _sql_simhash64(),
         "q37_sidecar_flavors": SQL_SIDECAR_FLAVORS,
         "q38_sidecar_posts": SQL_SIDECAR_POSTS,
+        "q39_media_metadata": _sql_media_metadata(),
         # q35 refits centroids from the sf0.01 sample; degrade to a
         # rows-only check if the testdata isn't present in this env
         **(
