@@ -74,10 +74,53 @@ def main() -> None:
             ("no sort-merge join", r"SortMergeJoin", False),
         ],
     )
+    audit(
+        "q25_lsh_pairs",
+        Q.q_lsh_pairs(spark, SF),
+        [
+            # signature md5 work stays behind exchanges; candidate pairs
+            # never come from a self-join (no join at all in the plan)
+            ("no join (groupBy-band + guarded expansion)", r"Join", False),
+            ("partial collect_set before shuffle", r"partial_collect_set", True),
+            ("no python anywhere", r"EvalPython|MapInPandas", False),
+        ],
+    )
+    audit(
+        "q29_embedding_neardup",
+        Q.q_embedding_neardup(spark, SF),
+        [
+            ("bucket join is hash, not nested loop", r"NestedLoop|CartesianProduct", False),
+            ("no python anywhere", r"EvalPython|MapInPandas", False),
+        ],
+    )
+    audit(
+        "q35_ivf_kmeans",
+        Q.q_ivf_kmeans(spark, SF),
+        [
+            ("query side broadcast", r"BroadcastHashJoin", True),
+            ("no sort-merge join", r"SortMergeJoin", False),
+            ("final top-k is a window, not a global sort", r"RunningWindowFunction|Window", True),
+        ],
+    )
+    audit(
+        "q39_media_metadata",
+        Q.q_media_metadata(spark, SF),
+        [
+            # decode is ONE Arrow python stage; payload column reaches it
+            ("single arrow python stage", r"MapInPandas", True),
+            ("no row-at-a-time python", r"BatchEvalPython", False),
+        ],
+    )
     from xhs_ocr_spark.extraction.pipeline import extract_spans_flat
-    from bench import amplified_corpus
+    from bench import staged_corpus
 
-    flat = extract_spans_flat(amplified_corpus(spark, SF, 2))
+    # production shape: scan an existing bytes-carrying table (staging the
+    # corpus is datagen, not engine — its python render stage must not
+    # count against the extraction plan's single-python-stage invariant)
+    import tempfile
+
+    stage_dir = os.path.join(tempfile.gettempdir(), "xhs_audit_corpus_v2")
+    flat = extract_spans_flat(staged_corpus(spark, SF, 2, stage_dir))
     audit(
         "flagship_flat",
         flat,

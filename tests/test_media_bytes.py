@@ -184,3 +184,31 @@ def test_raw_rgba_codec_real_ops(spark):
     assert len(meta) == 1 and meta[0]["tag"] == tag  # bad payload dropped
     rs = resize_media(media, 4, 8).collect()
     assert len(rs) == 1 and len(bytes(rs[0]["media_bytes"])) == 4 * 8 * 4
+
+
+def test_preprocess_x2_x4_real_math():
+    """X2-X4 (disabled in the reference itself, core/run.py:409-411;
+    implementations core/run.py:49-104) re-expressed as real numpy ops."""
+    from xhs_ocr_spark.operators.multimodal import RawRGBACodec
+
+    codec = RawRGBACodec()
+    ref = "mem://prep/0"
+    content = RI.render_media_image(ref)
+    orig = RI.decode_image(content)
+    rows, w = orig.shape[:2]
+
+    up = np.frombuffer(codec.upscale(content, 2), dtype=np.uint8).reshape(
+        rows * 2, w * 2, 4
+    )
+    assert (up[::2, ::2] == orig).all()  # nearest-neighbor repeat
+
+    enh = np.frombuffer(
+        codec.enhance(content, alpha=1.5, beta=50), dtype=np.uint8
+    ).reshape(rows, w, 4)
+    expect = np.clip(1.5 * orig.astype(np.float64) + 50, 0, 255).astype(np.uint8)
+    assert (enh == expect).all()
+
+    binary = np.frombuffer(codec.denoise_binarize(content), dtype=np.uint8)
+    assert binary.shape[0] == rows * w
+    assert set(np.unique(binary)) <= {0, 255}
+    assert (binary == 255).any() and (binary == 0).any()

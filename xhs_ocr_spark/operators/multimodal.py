@@ -144,6 +144,45 @@ class RawRGBACodec:
         ci = (np.arange(out_w) * img.shape[1]) // out_w
         return img[ri][:, ci].tobytes()
 
+    # -- X2-X4 preprocessing (DISABLED in the reference itself:
+    # core/run.py:409-411 comments out upscale/enhance before OCR; the
+    # implementations live at core/run.py:49-104. Re-expressed here as
+    # real numpy array math, default-off exactly like the reference.) ----
+
+    def upscale(self, content: bytes, scale_factor: int = 2) -> bytes:
+        """X2 (core/run.py:49-60): integer upscaling. cv2 INTER_CUBIC is
+        unavailable; nearest-neighbor repeat preserves the byte-encoded
+        payload exactly, which cubic interpolation would corrupt."""
+        import numpy as np
+
+        img = self._img(content)
+        return np.repeat(np.repeat(img, scale_factor, 0), scale_factor, 1).tobytes()
+
+    def denoise_binarize(self, content: bytes) -> bytes:
+        """X3 (core/run.py:62-89): grayscale -> 3x3 mean blur -> adaptive
+        threshold (inverted binary), numpy equivalents of the cv2 chain.
+        Output is a single-channel uint8 array (0/255)."""
+        import numpy as np
+
+        img = self._img(content).astype(np.float64)
+        gray = img[..., :3].mean(axis=2)
+        padded = np.pad(gray, 1, mode="edge")
+        blurred = sum(
+            padded[dy : dy + gray.shape[0], dx : dx + gray.shape[1]]
+            for dy in range(3)
+            for dx in range(3)
+        ) / 9.0
+        thresh = blurred.mean() - 2  # adaptive-mean analog, C=2
+        return ((blurred < thresh) * 255).astype(np.uint8).tobytes()
+
+    def enhance(self, content: bytes, alpha: float = 1.5, beta: float = 50) -> bytes:
+        """X4 (core/run.py:92-104): contrast/brightness
+        `output = alpha * input + beta`, clipped to uint8."""
+        import numpy as np
+
+        img = self._img(content).astype(np.float64)
+        return np.clip(alpha * img + beta, 0, 255).astype(np.uint8).tobytes()
+
 
 def media_metadata(media: DataFrame, codec_factory=SyntheticCodec) -> DataFrame:
     """(media_id, content) -> typed metadata. Batched; codec built once

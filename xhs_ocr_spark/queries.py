@@ -1240,6 +1240,87 @@ FROM derived
 """
 
 
+def q_base64_roundtrip(spark, sf):
+    """X17: base64 encode/decode of real binary payloads, JVM-side
+    (reference base64s images for remote OCR, core/ppocr_api.py — in-proc
+    the codec is only needed at serialization boundaries)."""
+    from .extraction.datagen import attach_media_bytes
+
+    parts = spark.sparkContext.defaultParallelism * 2
+    docs = attach_media_bytes(
+        corpus_from_documents(_t(spark, sf, "documents").repartition(parts, "doc_id"))
+    )
+    media = (
+        docs.select(F.explode("spans").alias("s"))
+        .where(F.col("s.kind") == "media")
+        .select(F.col("s.media_ref").alias("media_ref"), F.col("s.media_bytes").alias("b"))
+    )
+    b64 = F.base64(F.col("b"))
+    # NB: Spark's base64 emits MIME-chunked output (a line break every 76
+    # chars) while DuckDB's is unchunked — so the cross-engine check uses
+    # the DECODED byte count, not the encoded string length.
+    return media.select(
+        "media_ref",
+        F.substring(b64, 1, 48).alias("b64_head"),
+        F.length(F.unbase64(b64)).cast("long").alias("n_bytes"),
+        (F.unbase64(b64) == F.col("b")).cast("long").alias("roundtrip_ok"),
+    )
+
+
+def _sql_base64() -> str:
+    """Oracle: the first 36 payload bytes are the 6-byte header + 30 zero
+    pad bytes, i.e. a pure function of (tag_idx, app, n_blocks) — so the
+    first 48 base64 chars are precomputed in python per combination and
+    CASE-selected on the ref-derived key. Length = 4*ceil(n_bytes/3)
+    (RFC 4648 with padding, no line wraps); roundtrip is definitionally
+    1 on both engines."""
+    import base64 as b64mod
+
+    from .extraction.raw_image import BH, HEADER_BANDS, MAGIC, VERSION, W
+    from .extraction.semantics import TAG_FIELDS, TAGS
+
+    row_bytes = W * 4 * BH
+    head_cases = []
+    for ti, tag in enumerate(TAGS):
+        need = 8 if tag.startswith("note_traffic_analysis") else len(TAG_FIELDS[tag])
+        for app_i in (0, 1):
+            for extra in range(3):
+                n_blocks = need + 2 + extra
+                head = bytes([MAGIC[0], MAGIC[1], VERSION, ti, app_i, n_blocks]) + b"\x00" * 30
+                lit = b64mod.b64encode(head).decode()[:48]
+                head_cases.append(f"WHEN {ti * 100 + app_i * 10 + extra} THEN '{lit}'")
+    need_case = " ".join(
+        f"WHEN {i} THEN {8 if t.startswith('note_traffic_analysis') else len(TAG_FIELDS[t])}"
+        for i, t in enumerate(TAGS)
+    )
+    return rf"""
+WITH w AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS ws
+  FROM documents
+), refs AS (
+  SELECT 'mem://' || doc_id || '/' || CAST(g AS VARCHAR) AS media_ref
+  FROM w, UNNEST(generate_series(0, CAST(ceil(len(ws)/7.0) AS BIGINT) - 1)) AS t(g)
+  WHERE g % 3 = 2
+), derived AS (
+  SELECT media_ref,
+         CAST(CAST('0x' || substr(md5('tag:' || media_ref), 1, 16) AS UBIGINT) % {len(TAGS)} AS BIGINT) AS tag_idx,
+         CAST(CAST('0x' || substr(md5('app:' || media_ref), 1, 16) AS UBIGINT) % 5 = 0 AS BIGINT) AS app_i,
+         CAST(CAST('0x' || substr(md5('doc:' || media_ref), 1, 16) AS UBIGINT) % 3 AS BIGINT) AS extra
+  FROM refs
+), meta AS (
+  SELECT media_ref, tag_idx, app_i, extra,
+         (CASE tag_idx {need_case} END) + 2 + extra AS n_blocks
+  FROM derived
+)
+SELECT media_ref,
+       CASE tag_idx * 100 + app_i * 10 + extra {' '.join(head_cases)} END AS b64_head,
+       CAST(({HEADER_BANDS} + n_blocks) * {row_bytes} AS BIGINT) AS n_bytes,
+       CAST(1 AS BIGINT) AS roundtrip_ok
+FROM meta
+"""
+
+
 def _sql_flagship_fixture() -> str:
     """q30's driver oracle (round-2 item 3): the expected flagship output
     precomputed by the shared pure-Python semantics into a parquet fixture
@@ -1297,6 +1378,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q37_sidecar_flavors": q_sidecar_flavors,
         "q38_sidecar_posts": q_sidecar_posts,
         "q39_media_metadata": q_media_metadata,
+        "q40_base64_roundtrip": q_base64_roundtrip,
     }
 
 
@@ -1342,6 +1424,7 @@ def oracle_sql() -> dict[str, str]:
         "q37_sidecar_flavors": SQL_SIDECAR_FLAVORS,
         "q38_sidecar_posts": SQL_SIDECAR_POSTS,
         "q39_media_metadata": _sql_media_metadata(),
+        "q40_base64_roundtrip": _sql_base64(),
         # q35 refits centroids from the sf0.01 sample; degrade to a
         # rows-only check if the testdata isn't present in this env
         **(
