@@ -62,3 +62,41 @@ def test_stateful_totals_across_batches(spark, tmp_path):
     assert {u: v[0] for u, v in final.items()} == {u: v[0] for u, v in expect.items()}
     for u in expect:
         assert abs(final[u][1] - expect[u][1]) <= 2
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    """Duplicates within the watermark window are dropped with BOUNDED
+    state; each unique key survives exactly once."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    from xhs_ocr_spark.streaming import streaming_dedup_within_watermark
+
+    tmp = str(tmp_path)
+    rows = [
+        (k, v, f"2024-01-01 10:{m:02d}:00")
+        for k, v, m in [
+            ("a", 1, 0), ("a", 2, 5), ("b", 3, 1), ("b", 4, 2), ("c", 5, 9),
+        ]
+    ]
+    df = spark.createDataFrame(rows, "k string, v long, ts_s string").select(
+        "k", "v", F.col("ts_s").cast("timestamp").alias("ts")
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(f"{tmp}/in")
+    stream = spark.readStream.schema(df.schema).parquet(f"{tmp}/in")
+    q = (
+        streaming_dedup_within_watermark(stream, ["k"], watermark="30 minutes")
+        .writeStream.format("parquet")
+        .option("path", f"{tmp}/out")
+        .option("checkpointLocation", f"{tmp}/ck")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = spark.read.parquet(f"{tmp}/out").collect()
+    assert sorted(r["k"] for r in got) == ["a", "b", "c"]
+    # batch path: plain dedup
+    assert streaming_dedup_within_watermark(df, ["k"]).count() == 3
+    assert os.path.exists(f"{tmp}/ck")

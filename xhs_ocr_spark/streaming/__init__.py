@@ -1,4 +1,8 @@
 """Structured Streaming surface."""
 
-from .incremental import incremental_extraction_stream, windowed_event_counts  # noqa: F401
+from .incremental import (  # noqa: F401
+    incremental_extraction_stream,
+    streaming_dedup_within_watermark,
+    windowed_event_counts,
+)
 from .stateful import stateful_user_totals  # noqa: F401

@@ -50,6 +50,25 @@ def incremental_extraction_stream(
     )
 
 
+def streaming_dedup_within_watermark(
+    docs: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact dedup with BOUNDED state: duplicates arriving
+    within the watermark window are dropped; state for a key is released
+    once the watermark passes it (dropDuplicatesWithinWatermark, the
+    streaming analog of the fingerprint-groupBy exact dedup — an
+    unbounded dropDuplicates would grow state forever at 10^12 docs).
+    Works on a streaming OR batch DataFrame (batch: plain dedup)."""
+    if docs.isStreaming:
+        return docs.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+            key_cols
+        )
+    return docs.dropDuplicates(key_cols)
+
+
 def windowed_event_counts(events: DataFrame, window: str = "10 minutes",
                           watermark: str = "20 minutes") -> DataFrame:
     """Tumbling-window counts with late-data watermark (works on both a
