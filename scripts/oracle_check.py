@@ -55,6 +55,8 @@ def canon_duck(dtype: str) -> str:
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
+    # fixture/centroid oracles (q30/q35) must be built for THIS scale
+    os.environ["XHS_ORACLE_SF_DIR"] = sf_dir
 
     import __spark_entry__ as E
     from xhs_ocr_spark.session import get_spark

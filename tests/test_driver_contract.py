@@ -5,6 +5,7 @@ round); here a fast representative subset keeps the suite green-gate quick.
 """
 
 import math
+import os
 
 import duckdb
 import pytest
@@ -47,7 +48,14 @@ def test_every_query_has_callable_and_most_have_oracle():
     missing = set(os_) - set(qs)
     assert not missing  # every oracle belongs to a query
     no_oracle = set(qs) - set(os_)
-    assert no_oracle <= {"q30_extract_flagship"}  # only non-SQL ops omitted
+    # q30 now HAS a fixture oracle; q35's oracle degrades to rows-only
+    # only on hosts without the testdata sample it refits from
+    allowed = set()
+    if not os.path.exists(
+        os.path.join(os.environ.get("XHS_ORACLE_SF_DIR", "/root/testdata/sf0.01"), "embeddings.parquet")
+    ):
+        allowed.add("q35_ivf_kmeans")
+    assert no_oracle <= allowed
 
 
 @pytest.mark.parametrize("name", SUBSET)

@@ -212,3 +212,40 @@ def test_preprocess_x2_x4_real_math():
     assert binary.shape[0] == rows * w
     assert set(np.unique(binary)) <= {0, 255}
     assert (binary == 255).any() and (binary == 0).any()
+
+
+def test_corrupt_payload_dead_letters_not_crashes(spark):
+    """A corrupt/truncated payload must become an F10 dead letter (NULL
+    text), never a task failure — one bad image at corpus scale must not
+    abort the wave (review finding, round 2)."""
+    from xhs_ocr_spark.extraction.pipeline import extract_spans_with_deadletter
+
+    good_ref = next(
+        f"mem://ok/{i}" for i in range(50)
+        if S.extract_media_span(f"mem://ok/{i}") is not None
+    )
+    span = lambda ref, off, payload: {
+        "kind": "media", "text": "", "media_ref": ref, "offset": off,
+        "media_bytes": payload,
+    }
+    docs = spark.createDataFrame(
+        [
+            (
+                "d1",
+                [
+                    span(good_ref, 0, RI.render_media_image(good_ref)),
+                    span("bad:magic", 1, b"\x00" * 128),          # bad magic
+                    span("bad:len", 2, b"\xa7\x51\x01\x00\x00"),  # truncated
+                    span("bad:tag", 3, bytes([0xA7, 0x51, 1, 99, 0, 2]) + b"\x00" * 122),  # tag idx out of range
+                ],
+            )
+        ],
+        "doc_id string, spans array<struct<kind string, text string, "
+        "media_ref string, offset int, media_bytes binary>>",
+    )
+    ok, dead = extract_spans_with_deadletter(docs)
+    ok_rows = ok.collect()
+    dead_rows = dead.collect()
+    assert [r["media_ref"] for r in ok_rows] == [good_ref]
+    assert sorted(r["media_ref"] for r in dead_rows) == ["bad:len", "bad:magic", "bad:tag"]
+    assert all(r["reason"] == "all_masks_failed" for r in dead_rows)

@@ -109,7 +109,15 @@ class _Engine:
 
             def one(ref, payload):
                 if payload is not None and len(payload) > 0:
-                    return extract_from_bytes(bytes(payload), masks)
+                    try:
+                        return extract_from_bytes(bytes(payload), masks)
+                    except Exception:
+                        # corrupt/truncated payload (bad magic, wrong
+                        # length, mangled text bytes): F10 dead letter,
+                        # NOT a task failure — one bad image at 10^12
+                        # docs must never abort the wave (reference logs
+                        # and continues, core/run.py:640-642)
+                        return None
                 return extract_media_span(ref) if ref else None
 
             return pd.Series(

@@ -104,7 +104,12 @@ def render_media_image(media_ref: str, noise_rows: int = 0) -> bytes:
         band[_META_LEN : _META_LEN + len(text)] = np.frombuffer(text, dtype=np.uint8)
 
     if noise_rows:
-        rng = np.random.default_rng(abs(hash(("noise", media_ref))) % 2**32)
+        # seed via the md5-based _h64, NOT builtin hash() — hash() is
+        # PYTHONHASHSEED-randomized per process and would make the render
+        # non-reproducible across executors/runs (review finding, round 2)
+        from .semantics import _h64
+
+        rng = np.random.default_rng(_h64("noise:" + media_ref) % 2**32)
         img[-noise_rows:] = rng.integers(0, 256, (noise_rows, W, 4), dtype=np.uint8)
     return img.tobytes()
 

@@ -103,14 +103,24 @@ class RawRGBACodec:
 
         return RI.decode_image(bytes(content))
 
-    def decode_meta(self, content: bytes):
+    def try_decode(self, content: bytes):
+        """ONE decode for the whole stage: (img, tag, app, n_blocks) or
+        None on corrupt bytes — the hot-path stages call this once per
+        payload instead of decode_meta + a second decode."""
         from ..extraction import raw_image as RI
 
         try:
             img = self._img(content)
-            RI.read_header(img)  # validates magic/version
+            tag, app, n_blocks = RI.read_header(img)
         except Exception:
             return None
+        return img, tag, app, n_blocks
+
+    def decode_meta(self, content: bytes):
+        d = self.try_decode(content)
+        if d is None:
+            return None
+        img = d[0]
         return "image", img.shape[1], img.shape[0], 1
 
     def header(self, content: bytes):
@@ -124,9 +134,10 @@ class RawRGBACodec:
         red-channel means, all in [0,1]. Deterministic, REAL math."""
         import numpy as np
 
-        if self.decode_meta(content) is None:
+        d = self.try_decode(content)
+        if d is None:
             return None
-        img = self._img(content).astype(np.float64)
+        img = d[0].astype(np.float64)
         feats = [img[..., c].mean() / 255.0 for c in range(4)]
         rows = img.shape[0]
         for q in range(4):
@@ -245,9 +256,10 @@ def raw_media_metadata(media: DataFrame) -> DataFrame:
         for pdf in batches:
             rows = []
             for ref, content in zip(pdf["media_ref"], pdf["media_bytes"]):
-                if codec.decode_meta(content) is None:
+                d = codec.try_decode(content)  # decode ONCE per payload
+                if d is None:
                     continue
-                tag, app, n_blocks = codec.header(content)
+                _, tag, app, n_blocks = d
                 rows.append((ref, tag, app, n_blocks, len(content)))
             yield pd.DataFrame(
                 rows, columns=["media_ref", "tag", "app", "n_blocks", "n_bytes"]
@@ -267,13 +279,19 @@ def resize_media(media: DataFrame, out_h: int, out_w: int) -> DataFrame:
     )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
         codec = RawRGBACodec()
         for pdf in batches:
-            rows = [
-                (ref, codec.resize(content, out_h, out_w))
-                for ref, content in zip(pdf["media_ref"], pdf["media_bytes"])
-                if codec.decode_meta(content) is not None
-            ]
+            rows = []
+            for ref, content in zip(pdf["media_ref"], pdf["media_bytes"]):
+                d = codec.try_decode(content)  # decode ONCE per payload
+                if d is None:
+                    continue
+                img = d[0]
+                ri = (np.arange(out_h) * img.shape[0]) // out_h
+                ci = (np.arange(out_w) * img.shape[1]) // out_w
+                rows.append((ref, img[ri][:, ci].tobytes()))
             yield pd.DataFrame(rows, columns=["media_ref", "media_bytes"])
 
     return media.mapInPandas(run, schema=schema)

@@ -122,11 +122,14 @@ def ivf_topk(
     the corpus before any pairwise scoring — the scale path when LSH
     recall is insufficient."""
     parts = corpus.sparkSession.sparkContext.defaultParallelism * 2
+    # spread on n_id only: the query side is BROADCAST, so the join needs
+    # no corpus distribution — repartitioning on `cell` (n_cells distinct
+    # values) would collapse scoring to <= n_cells tasks and pin hot
+    # cells on single cores (review finding, round 2).
     c = (
         corpus.select(F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_vec"))
         .repartition(parts, "n_id")
         .select("n_id", "n_vec", ivf_cell(F.col("n_vec"), dim, n_cells).alias("cell"))
-        .repartition(parts, "cell")
     )
     q = queries.select(
         F.col(id_col).alias("q_id"),
@@ -233,11 +236,11 @@ def ivf_topk_kmeans(
     trades compute for recall — the standard IVF knob. Query side stays
     broadcast; the corpus is exchanged once on cell."""
     parts = corpus.sparkSession.sparkContext.defaultParallelism * 2
+    # n_id spread only — no `cell` exchange; see ivf_topk's comment.
     c = (
         corpus.select(F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_vec"))
         .repartition(parts, "n_id")
         .select("n_id", "n_vec", cell_assign(F.col("n_vec"), centroids).alias("cell"))
-        .repartition(parts, "cell")
     )
     q = queries.select(
         F.col(id_col).alias("q_id"),

@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import os
 from collections.abc import Callable
+from functools import lru_cache
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
@@ -955,20 +956,32 @@ def q_ivf_kmeans(spark, sf):
     )
 
 
-def _fit_centroids_oracle(n_cells: int = SS.N_CELLS) -> list[list[float]]:
-    """DuckDB-side twin of fit_centroids_spark at the driver's correctness
-    scale (sf0.01): same vec_id-hash sample, same Lloyd fitter."""
+def _oracle_sf_dir() -> str:
+    """Scale the oracles are built for. The driver's CORRECTNESS runs are
+    always sf0.01 (the default); scripts/oracle_check.py exports this env
+    var so the fixture/centroid oracles follow its sf_dir argument."""
+    return os.environ.get("XHS_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+
+
+@lru_cache(maxsize=4)
+def _fit_centroids_oracle(sf_dir: str, n_cells: int = SS.N_CELLS) -> tuple:
+    """DuckDB-side twin of fit_centroids_spark: same vec_id-hash sample,
+    same Lloyd fitter. Cached — oracle_sql() is called repeatedly and the
+    fit reads parquet + runs 8 Lloyd iterations."""
     import duckdb
 
     rows = duckdb.sql(
-        "SELECT embedding FROM read_parquet('/root/testdata/sf0.01/embeddings.parquet') "
+        f"SELECT embedding FROM read_parquet('{sf_dir}/embeddings.parquet') "
         f"WHERE vec_id % {SS.SAMPLE_MOD} = 0 ORDER BY vec_id"
     ).fetchall()
-    return SS.kmeans_centroids([list(r[0]) for r in rows], n_cells)
+    return tuple(
+        tuple(c) for c in SS.kmeans_centroids([list(r[0]) for r in rows], n_cells)
+    )
 
 
-def _sql_ivf_kmeans() -> str:
-    cents = _fit_centroids_oracle()
+@lru_cache(maxsize=4)
+def _sql_ivf_kmeans(sf_dir: str) -> str:
+    cents = _fit_centroids_oracle(sf_dir)
 
     def clit(c):
         return "[" + ", ".join(repr(v) for v in c) + "]"
@@ -1200,21 +1213,14 @@ def q_media_metadata(spark, sf):
     )
 
 
-def _sql_media_metadata() -> str:
-    """Derive (tag, app, n_blocks, n_bytes) arithmetically from media_ref
-    the way semantics.media_tag/media_app/run_standin_ocr do (md5-prefix
-    h64 mod), over the same chunk-derived media refs as q13/q30."""
-    from .extraction.raw_image import BH, HEADER_BANDS, W
-    from .extraction.semantics import TAG_FIELDS, TAGS
+def _sql_media_refs_derived() -> str:
+    """Shared CTE prefix: enumerate the corpus media refs exactly as
+    corpus_from_documents does (7-word chunks, every 3rd slot) and derive
+    (tag_idx, app_i, extra) from the ref via the md5-prefix h64 scheme —
+    used by BOTH the media-metadata and base64 oracles so the chunking /
+    hash rules live in one place."""
+    from .extraction.semantics import TAGS
 
-    tag_case = " ".join(
-        f"WHEN {i} THEN '{t}'" for i, t in enumerate(TAGS)
-    )
-    need_case = " ".join(
-        f"WHEN '{t}' THEN {8 if t.startswith('note_traffic_analysis') else len(f)}"
-        for t, f in TAG_FIELDS.items()
-    )
-    row_bytes = W * 4 * BH
     return rf"""
 WITH w AS (
   SELECT CAST(doc_id AS VARCHAR) AS doc_id,
@@ -1226,16 +1232,39 @@ WITH w AS (
   WHERE g % 3 = 2
 ), derived AS (
   SELECT media_ref,
-         CASE CAST('0x' || substr(md5('tag:' || media_ref), 1, 16) AS UBIGINT) % {len(TAGS)}
-              {tag_case} END AS tag,
-         CASE WHEN CAST('0x' || substr(md5('app:' || media_ref), 1, 16) AS UBIGINT) % 5 = 0
-              THEN 'tiktok' ELSE 'xhs' END AS app,
+         CAST(CAST('0x' || substr(md5('tag:' || media_ref), 1, 16) AS UBIGINT) % {len(TAGS)} AS BIGINT) AS tag_idx,
+         CAST(CAST('0x' || substr(md5('app:' || media_ref), 1, 16) AS UBIGINT) % 5 = 0 AS BIGINT) AS app_i,
          CAST(CAST('0x' || substr(md5('doc:' || media_ref), 1, 16) AS UBIGINT) % 3 AS BIGINT) AS extra
   FROM refs
-)
-SELECT media_ref, tag, app,
-       (CASE tag {need_case} END) + 2 + extra AS n_blocks,
-       ({HEADER_BANDS} + (CASE tag {need_case} END) + 2 + extra) * {row_bytes} AS n_bytes
+)"""
+
+
+def _sql_need_case() -> str:
+    """CASE tag_idx -> expected block count ('need') per tag."""
+    from .extraction.semantics import TAG_FIELDS, TAGS
+
+    return " ".join(
+        f"WHEN {i} THEN {8 if t.startswith('note_traffic_analysis') else len(TAG_FIELDS[t])}"
+        for i, t in enumerate(TAGS)
+    )
+
+
+def _sql_media_metadata() -> str:
+    """Derive (tag, app, n_blocks, n_bytes) arithmetically from media_ref
+    the way semantics.media_tag/media_app/run_standin_ocr do (md5-prefix
+    h64 mod), over the same chunk-derived media refs as q13/q30."""
+    from .extraction.raw_image import BH, HEADER_BANDS, W
+    from .extraction.semantics import TAGS
+
+    tag_case = " ".join(f"WHEN {i} THEN '{t}'" for i, t in enumerate(TAGS))
+    need_case = _sql_need_case()
+    row_bytes = W * 4 * BH
+    return rf"""{_sql_media_refs_derived()}
+SELECT media_ref,
+       CASE tag_idx {tag_case} END AS tag,
+       CASE WHEN app_i = 1 THEN 'tiktok' ELSE 'xhs' END AS app,
+       (CASE tag_idx {need_case} END) + 2 + extra AS n_blocks,
+       ({HEADER_BANDS} + (CASE tag_idx {need_case} END) + 2 + extra) * {row_bytes} AS n_bytes
 FROM derived
 """
 
@@ -1289,26 +1318,8 @@ def _sql_base64() -> str:
                 head = bytes([MAGIC[0], MAGIC[1], VERSION, ti, app_i, n_blocks]) + b"\x00" * 30
                 lit = b64mod.b64encode(head).decode()[:48]
                 head_cases.append(f"WHEN {ti * 100 + app_i * 10 + extra} THEN '{lit}'")
-    need_case = " ".join(
-        f"WHEN {i} THEN {8 if t.startswith('note_traffic_analysis') else len(TAG_FIELDS[t])}"
-        for i, t in enumerate(TAGS)
-    )
-    return rf"""
-WITH w AS (
-  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
-         list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS ws
-  FROM documents
-), refs AS (
-  SELECT 'mem://' || doc_id || '/' || CAST(g AS VARCHAR) AS media_ref
-  FROM w, UNNEST(generate_series(0, CAST(ceil(len(ws)/7.0) AS BIGINT) - 1)) AS t(g)
-  WHERE g % 3 = 2
-), derived AS (
-  SELECT media_ref,
-         CAST(CAST('0x' || substr(md5('tag:' || media_ref), 1, 16) AS UBIGINT) % {len(TAGS)} AS BIGINT) AS tag_idx,
-         CAST(CAST('0x' || substr(md5('app:' || media_ref), 1, 16) AS UBIGINT) % 5 = 0 AS BIGINT) AS app_i,
-         CAST(CAST('0x' || substr(md5('doc:' || media_ref), 1, 16) AS UBIGINT) % 3 AS BIGINT) AS extra
-  FROM refs
-), meta AS (
+    need_case = _sql_need_case()
+    return rf"""{_sql_media_refs_derived()}, meta AS (
   SELECT media_ref, tag_idx, app_i, extra,
          (CASE tag_idx {need_case} END) + 2 + extra AS n_blocks
   FROM derived
@@ -1324,10 +1335,12 @@ FROM meta
 def _sql_flagship_fixture() -> str:
     """q30's driver oracle (round-2 item 3): the expected flagship output
     precomputed by the shared pure-Python semantics into a parquet fixture
-    (scripts/build_fixtures.py), compared with a trivial SELECT. Built for
-    the driver's correctness scale (sf0.01)."""
+    (scripts/build_fixtures.py), compared with a trivial SELECT. The
+    fixture is chosen to match the oracle scale (driver default sf0.01;
+    oracle_check exports XHS_ORACLE_SF_DIR to follow its sf_dir)."""
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    path = os.path.join(repo, "fixtures", "expected_flagship_sf0.01.parquet")
+    tag = os.path.basename(_oracle_sf_dir().rstrip("/"))
+    path = os.path.join(repo, "fixtures", f"expected_flagship_{tag}.parquet")
     return (
         f"SELECT doc_id, kind, text, media_ref, \"order\" "
         f"FROM read_parquet('{path}')"
@@ -1425,11 +1438,11 @@ def oracle_sql() -> dict[str, str]:
         "q38_sidecar_posts": SQL_SIDECAR_POSTS,
         "q39_media_metadata": _sql_media_metadata(),
         "q40_base64_roundtrip": _sql_base64(),
-        # q35 refits centroids from the sf0.01 sample; degrade to a
+        # q35 refits centroids from the oracle-scale sample; degrade to a
         # rows-only check if the testdata isn't present in this env
         **(
-            {"q35_ivf_kmeans": _sql_ivf_kmeans()}
-            if os.path.exists("/root/testdata/sf0.01/embeddings.parquet")
+            {"q35_ivf_kmeans": _sql_ivf_kmeans(_oracle_sf_dir())}
+            if os.path.exists(os.path.join(_oracle_sf_dir(), "embeddings.parquet"))
             else {}
         ),
     }
