@@ -89,7 +89,12 @@ def main() -> None:
         "q29_embedding_neardup",
         Q.q_embedding_neardup(spark, SF),
         [
-            ("bucket join is hash, not nested loop", r"NestedLoop|CartesianProduct", False),
+            # round-3 guard: candidates come from groupBy(bucket) +
+            # expand_bucket_pairs, never a self-join on the bucket key
+            # (one hot bucket would pin |b|^2 cosines on one task)
+            ("no join on the bucket key", r"keys \[\d+\]: \[bucket", False),
+            ("guarded expansion (collect_set agg)", r"partial_collect_set", True),
+            ("no nested loop / cartesian", r"NestedLoop|CartesianProduct", False),
             ("no python anywhere", r"EvalPython|MapInPandas", False),
         ],
     )
