@@ -137,7 +137,7 @@ def main() -> None:
         }
         return round(len(got & truth) / len(truth), 3)
 
-    ivf_recall = {"nprobe1": _recall(1), "nprobe2": _recall(2)}
+    ivf_recall = {"nprobe1": _recall(1), "nprobe2": _recall(2), "nprobe4": _recall(4)}
 
     print(
         json.dumps(

@@ -248,4 +248,7 @@ def test_corrupt_payload_dead_letters_not_crashes(spark):
     dead_rows = dead.collect()
     assert [r["media_ref"] for r in ok_rows] == [good_ref]
     assert sorted(r["media_ref"] for r in dead_rows) == ["bad:len", "bad:magic", "bad:tag"]
-    assert all(r["reason"] == "all_masks_failed" for r in dead_rows)
+    # decode failures carry their own reason, distinct from mask
+    # exhaustion — the reference logs the two causes separately
+    # (core/run.py:640-642 vs 499-501)
+    assert all(r["reason"] == "corrupt_payload" for r in dead_rows)

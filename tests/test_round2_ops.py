@@ -92,9 +92,9 @@ def test_ivf_nprobe_recall_monotone(spark):
         }
         return len(got & truth) / len(truth)
 
-    r1, r2, rall = recall(1), recall(2), recall(SS.N_CELLS)
+    r1, r2, r4, rall = recall(1), recall(2), recall(4), recall(SS.N_CELLS)
     assert rall == 1.0
-    assert r1 <= r2 <= 1.0
+    assert r1 <= r2 <= r4 <= 1.0
 
 
 def test_simhash64_matches_python(spark):

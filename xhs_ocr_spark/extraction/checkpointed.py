@@ -134,7 +134,8 @@ class CheckpointedExtraction:
                 (F.col("kind") == "media") & F.col("text").isNull()
             ).select(
                 "doc_id", "media_ref", F.col("offset").alias("order"),
-                F.lit("all_masks_failed").alias("reason"), bucket_expr,
+                "reason",  # 'corrupt_payload' vs 'all_masks_failed'
+                bucket_expr,
             )
             # dynamic overwrite: only this wave's bucket partitions are
             # replaced, so re-running a bucket after a mid-wave crash (data

@@ -72,6 +72,11 @@ _FLAT_SCHEMA = T.StructType(
         T.StructField("text", T.StringType()),
         T.StructField("media_ref", T.StringType()),
         T.StructField("offset", T.IntegerType()),
+        # NULL for surviving spans; failure cause for media dead letters —
+        # the reference logs mask exhaustion (core/run.py:499-501) and
+        # decode errors (core/run.py:640-642) distinctly, so the triage
+        # table must too (ADVICE r2)
+        T.StructField("reason", T.StringType()),
     ]
 )
 
@@ -118,32 +123,40 @@ class _Engine:
             def one(ref, payload):
                 if payload is not None and len(payload) > 0:
                     try:
-                        return extract_from_bytes(bytes(payload), masks)
+                        txt = extract_from_bytes(bytes(payload), masks)
                     except Exception:
                         # corrupt/truncated payload (bad magic, wrong
                         # length, mangled text bytes): F10 dead letter,
                         # NOT a task failure — one bad image at 10^12
                         # docs must never abort the wave (reference logs
                         # and continues, core/run.py:640-642)
-                        return None
-                return extract_media_span(ref) if ref else None
+                        return None, "corrupt_payload"
+                else:
+                    txt = extract_media_span(ref) if ref else None
+                return txt, (None if txt is not None else "all_masks_failed")
 
-            return pd.Series(
-                [one(r, b) for r, b in zip(media_refs, media_bytes)],
-                index=media_refs.index,
-                dtype=object,
+            out = [one(r, b) for r, b in zip(media_refs, media_bytes)]
+            return (
+                pd.Series([t for t, _ in out], index=media_refs.index, dtype=object),
+                pd.Series([r for _, r in out], index=media_refs.index, dtype=object),
             )
-        return media_refs.map(extract_media_span, na_action="ignore")
+        texts = media_refs.map(extract_media_span, na_action="ignore")
+        reasons = pd.Series(
+            [None if t is not None else "all_masks_failed" for t in texts],
+            index=media_refs.index,
+            dtype=object,
+        )
+        return texts, reasons
 
 
-_OUT_COLS = ["doc_id", "kind", "text", "media_ref", "offset"]
+_OUT_COLS = ["doc_id", "kind", "text", "media_ref", "offset", "reason"]
 
 
 def _ocr_media(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     engine = _Engine.get()  # init BEFORE the batch loop; reused across batches
     for pdf in batches:
         out = pdf.copy()
-        out["text"] = engine.extract_batch(pdf["media_ref"])
+        out["text"], out["reason"] = engine.extract_batch(pdf["media_ref"])
         yield out[_OUT_COLS]
 
 
@@ -158,17 +171,21 @@ def _make_ocr_routed(masks_bc):
         engine = _Engine.get()
         masks = masks_bc.value if masks_bc is not None else None
         for pdf in batches:
-            out = pdf
             media = pdf["kind"].to_numpy() == "media"
             if media.any():
                 out = pdf.copy()
-                out.loc[media, "text"] = engine.extract_batch(
+                out["reason"] = None
+                texts, reasons = engine.extract_batch(
                     pdf.loc[media, "media_ref"],
                     pdf.loc[media, "media_bytes"]
                     if "media_bytes" in pdf.columns
                     else None,
                     masks,
                 )
+                out.loc[media, "text"] = texts
+                out.loc[media, "reason"] = reasons
+            else:
+                out = pdf.assign(reason=None)
             yield out[_OUT_COLS]
 
     return ocr_routed
@@ -355,6 +372,9 @@ def extract_spans_with_deadletter(
         "doc_id",
         "media_ref",
         F.col("offset").alias("order"),
-        F.lit("all_masks_failed").alias("reason"),
+        # emitted by the python stage: 'corrupt_payload' (decode raised)
+        # vs 'all_masks_failed' (every mask failed the status/arity gates)
+        # — the two causes the reference logs distinctly
+        "reason",
     )
     return ok, dead

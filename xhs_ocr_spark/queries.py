@@ -965,14 +965,18 @@ def _oracle_sf_dir() -> str:
 
 @lru_cache(maxsize=4)
 def _fit_centroids_oracle(sf_dir: str, n_cells: int = SS.N_CELLS) -> tuple:
-    """DuckDB-side twin of fit_centroids_spark: same vec_id-hash sample,
-    same Lloyd fitter. Cached — oracle_sql() is called repeatedly and the
-    fit reads parquet + runs 8 Lloyd iterations."""
+    """DuckDB-side twin of fit_centroids_spark: same count-derived sample
+    modulus (ivf_sample_mod), same vec_id-hash sample, same Lloyd fitter.
+    Cached — oracle_sql() is called repeatedly and the fit reads parquet
+    + runs 8 Lloyd iterations."""
     import duckdb
 
+    n = duckdb.sql(
+        f"SELECT count(*) FROM read_parquet('{sf_dir}/embeddings.parquet')"
+    ).fetchone()[0]
     rows = duckdb.sql(
         f"SELECT embedding FROM read_parquet('{sf_dir}/embeddings.parquet') "
-        f"WHERE vec_id % {SS.SAMPLE_MOD} = 0 ORDER BY vec_id"
+        f"WHERE vec_id % {SS.ivf_sample_mod(n)} = 0 ORDER BY vec_id"
     ).fetchall()
     return tuple(
         tuple(c) for c in SS.kmeans_centroids([list(r[0]) for r in rows], n_cells)
@@ -986,7 +990,6 @@ def _sql_ivf_kmeans(sf_dir: str) -> str:
     def clit(c):
         return "[" + ", ".join(repr(v) for v in c) + "]"
 
-    dots = ", ".join(f"list_dot_product(vec, {clit(c)})" for c in cents)
     probes = ", ".join(
         "{'nd': -list_dot_product(vec, %s), 'cell': %d}" % (clit(c), i)
         for i, c in enumerate(cents)
@@ -995,14 +998,19 @@ def _sql_ivf_kmeans(sf_dir: str) -> str:
 WITH v AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec FROM embeddings
 ), assigned AS (
-  SELECT vec_id, vec, list_position(d, list_max(d)) - 1 AS cell
-  FROM (SELECT vec_id, vec, [{dots}] AS d FROM v)
+  -- multi-assignment: each corpus vector indexed under its 2 nearest
+  -- cells (mirrors ivf_topk_kmeans assign_cells=2)
+  SELECT vec_id, vec,
+         unnest(list_transform(list_sort([{probes}])[1:2], s -> s.cell)) AS cell
+  FROM v
 ), q AS (
   SELECT vec_id AS q_id, vec AS q_vec,
          unnest(list_transform(list_sort([{probes}])[1:2], s -> s.cell)) AS cell
   FROM v WHERE vec_id < 5
 ), scored AS (
-  SELECT q.q_id, a.vec_id AS n_id,
+  -- DISTINCT collapses pairs matching in >1 shared probed cell (the
+  -- cosine is identical per pair, so DISTINCT == the Spark max(cos) agg)
+  SELECT DISTINCT q.q_id, a.vec_id AS n_id,
          list_cosine_similarity(q.q_vec, a.vec) AS cos
   FROM q JOIN assigned a ON a.cell = q.cell AND a.vec_id <> q.q_id
 )
@@ -1332,18 +1340,21 @@ FROM meta
 """
 
 
+def _flagship_fixture_path() -> str:
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    tag = os.path.basename(_oracle_sf_dir().rstrip("/"))
+    return os.path.join(repo, "fixtures", f"expected_flagship_{tag}.parquet")
+
+
 def _sql_flagship_fixture() -> str:
     """q30's driver oracle (round-2 item 3): the expected flagship output
     precomputed by the shared pure-Python semantics into a parquet fixture
     (scripts/build_fixtures.py), compared with a trivial SELECT. The
     fixture is chosen to match the oracle scale (driver default sf0.01;
     oracle_check exports XHS_ORACLE_SF_DIR to follow its sf_dir)."""
-    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    tag = os.path.basename(_oracle_sf_dir().rstrip("/"))
-    path = os.path.join(repo, "fixtures", f"expected_flagship_{tag}.parquet")
     return (
         f"SELECT doc_id, kind, text, media_ref, \"order\" "
-        f"FROM read_parquet('{path}')"
+        f"FROM read_parquet('{_flagship_fixture_path()}')"
     )
 
 
@@ -1426,9 +1437,6 @@ def oracle_sql() -> dict[str, str]:
         "q27_ngram_jaccard": SQL_NGRAM_JACCARD,
         "q28_cosine_topk": SQL_COSINE_TOPK,
         "q29_embedding_neardup": _sql_embedding_neardup(),
-        # q30: expected output precomputed by the shared pure-Python
-        # semantics into a parquet fixture (scripts/build_fixtures.py)
-        "q30_extract_flagship": _sql_flagship_fixture(),
         "q31_ivf_ann": _sql_ivf_ann(),
         "q32_link_unescape": SQL_LINK_UNESCAPE,
         "q33_source_type": SQL_SOURCE_TYPE,
@@ -1438,6 +1446,16 @@ def oracle_sql() -> dict[str, str]:
         "q38_sidecar_posts": SQL_SIDECAR_POSTS,
         "q39_media_metadata": _sql_media_metadata(),
         "q40_base64_roundtrip": _sql_base64(),
+        # q30: expected output precomputed by the shared pure-Python
+        # semantics into a parquet fixture (scripts/build_fixtures.py) —
+        # committed only for the oracle scales (sf0.001/sf0.01); at any
+        # other sf_dir degrade to the rows-only check instead of handing
+        # DuckDB a missing path (ADVICE r2)
+        **(
+            {"q30_extract_flagship": _sql_flagship_fixture()}
+            if os.path.exists(_flagship_fixture_path())
+            else {}
+        ),
         # q35 refits centroids from the oracle-scale sample; degrade to a
         # rows-only check if the testdata isn't present in this env
         **(

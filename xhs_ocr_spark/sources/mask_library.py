@@ -38,9 +38,27 @@ def mask_library_df(spark: SparkSession, hw: str = "default") -> DataFrame:
     return spark.createDataFrame(rows, MASK_SCHEMA)
 
 
+_BC_CACHE: dict = {}
+
+
 def broadcast_mask_library(spark: SparkSession, hw: str = "default"):
-    """(app, hw, tag) -> [mask_bytes in mask_order] as a broadcast var."""
-    return spark.sparkContext.broadcast(masks_by_key(mask_library(hw)))
+    """(app, hw, tag) -> [mask_bytes in mask_order] as a broadcast var.
+
+    Memoized per (application, hw): the flagship pipeline is re-planned
+    per wave by CheckpointedExtraction, and an unmemoized broadcast per
+    call would accumulate driver/executor broadcast blocks over a long
+    many-wave run (ADVICE r2). The library is immutable for a run, so one
+    broadcast per session is the correct lifetime."""
+    app_id = spark.sparkContext.applicationId
+    key = (app_id, hw)
+    bc = _BC_CACHE.get(key)
+    if bc is None:
+        # drop entries from dead sessions (one live app per process)
+        for stale in [k for k in _BC_CACHE if k[0] != app_id]:
+            del _BC_CACHE[stale]
+        bc = spark.sparkContext.broadcast(masks_by_key(mask_library(hw)))
+        _BC_CACHE[key] = bc
+    return bc
 
 
 def load_mask_library(spark: SparkSession, path: str) -> DataFrame:
