@@ -85,3 +85,20 @@ def test_resume_after_crash(spark, tmp_path):
     got_dead = {(r["doc_id"], r["media_ref"], r["order"]) for r in dead.collect()}
     assert got_dead == exp_dead
     assert lineage.groupBy().sum("dead_out").collect()[0][0] == len(exp_dead)
+
+    # round-3 verdict item 4: the input is staged ONCE partitioned by
+    # bucket, and every wave's scan prunes to its own bucket partitions
+    # (PartitionFilters) — total input bytes read across waves ~= 1x.
+    import os
+    import re
+
+    assert os.path.exists(os.path.join(ck.stage_dir, "_SUCCESS"))
+    assert ck.wave_plans, "run() must record per-wave plans"
+    for plan in ck.wave_plans:
+        m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+        assert m and "bucket" in m.group(1), "wave scan must prune on bucket"
+        # and the pruned filter must NOT ship to the data filter level as
+        # a full-scan predicate: the scan's partition count is decided by
+        # the pruned directories, which we can't see here, but the staged
+        # path must be the scan target (not the raw docs frame)
+        assert "staged_input" in plan

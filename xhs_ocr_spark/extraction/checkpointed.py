@@ -6,8 +6,13 @@ IGNORE re-runs over a 2-day window (db/__init__.py:110-116,
 core/run.py:132-138); at 10^12 docs re-reading everything is not viable, so
 the rebuild checkpoints at document-bucket granularity:
 
-- docs are bucketed by xxhash64(doc_id) % n_buckets (stable, shuffle-free
-  derivation; on Iceberg this is the bucket partition transform),
+- docs are bucketed by xxhash64(doc_id) % n_buckets (stable derivation;
+  on Iceberg this is the bucket partition transform) and STAGED ONCE as
+  a bucket-partitioned table under the run directory — each wave then
+  reads only its own bucket partitions (PartitionFilters prune the scan),
+  so total input bytes read across all waves ~= 1x the corpus. Without
+  staging, every wave's isin(bucket) filter re-scanned the FULL input
+  (round-2 verdict item 4: at 10^12 docs, waves x full-scan dominates),
 - buckets are processed in waves (one Spark job per wave, wave size =
   buckets/waves), each wave appends per-bucket lineage rows
   (bucket, rows_out, docs_in, wall_ms, run_id, status),
@@ -46,8 +51,10 @@ class CheckpointedExtraction:
         self.data_dir = os.path.join(out_dir, "spans_out")
         self.dead_dir = os.path.join(out_dir, "dead_letter")
         self.lineage_dir = os.path.join(out_dir, "lineage")
+        self.stage_dir = os.path.join(out_dir, "staged_input")
         self.n_buckets = n_buckets
         self.waves = waves
+        self.wave_plans: list[str] = []  # formatted plan per wave (audit)
 
     # -- lineage ---------------------------------------------------------------
 
@@ -90,6 +97,33 @@ class CheckpointedExtraction:
         except Exception:
             return None
 
+    # -- input staging -----------------------------------------------------------
+
+    def _staged_input(self, docs: DataFrame) -> DataFrame:
+        """Stage the input ONCE as a bucket-partitioned parquet table; each
+        wave reads only its own bucket directories (PartitionFilters), so
+        the corpus is scanned ~1x total across waves instead of once per
+        wave. On Iceberg this staging write is the bucket(doc_id,
+        n_buckets) partition transform on ingest — no extra copy at all.
+        The staged table is part of the checkpoint: a resume reuses it
+        (identical bucketing guaranteed), like any other checkpoint state."""
+        marker = os.path.join(self.stage_dir, "_SUCCESS")
+        if not os.path.exists(marker):
+            parts = max(
+                self.n_buckets, self.spark.sparkContext.defaultParallelism
+            )
+            (
+                docs.withColumn(
+                    "bucket",
+                    F.pmod(F.xxhash64("doc_id"), F.lit(self.n_buckets)).cast("int"),
+                )
+                .repartition(parts, "bucket")
+                .write.mode("overwrite")
+                .partitionBy("bucket")
+                .parquet(self.stage_dir)
+            )
+        return self.spark.read.parquet(self.stage_dir)
+
     # -- run -------------------------------------------------------------------
 
     def run(self, docs: DataFrame, fail_after_waves: int | None = None) -> DataFrame:
@@ -97,9 +131,7 @@ class CheckpointedExtraction:
 
         ``fail_after_waves`` simulates a mid-run crash (tests/resume)."""
         run_id = uuid.uuid4().hex[:12]
-        bucketed = docs.withColumn(
-            "bucket", F.pmod(F.xxhash64("doc_id"), F.lit(self.n_buckets)).cast("int")
-        )
+        bucketed = self._staged_input(docs)
         done = self.completed_buckets()
         todo = sorted(set(range(self.n_buckets)) - done)
         wave_size = max(1, (len(todo) + self.waves - 1) // self.waves) if todo else 1
@@ -114,6 +146,11 @@ class CheckpointedExtraction:
             wave_buckets = todo[w : w + wave_size]
             t0 = time.time()
             wave_docs = bucketed.where(F.col("bucket").isin(wave_buckets))
+            self.wave_plans.append(
+                wave_docs._sc._jvm.PythonSQLUtils.explainString(
+                    wave_docs._jdf.queryExecution(), "formatted"
+                )
+            )
             # ONE pipeline computation per wave: the routed frame is
             # persisted (a wave is the sized-to-fit unit of work, so its
             # footprint is bounded by construction), then the ok/dead
