@@ -44,6 +44,7 @@ BENCH_QUERIES = [
     "q27_ngram_jaccard",
     "q28_cosine_topk",
     "q29_embedding_neardup",
+    "q36_simhash64",
 ]
 
 

@@ -50,7 +50,7 @@ def test_composite_is_reference_pixel_math():
     ref = "mem://pixel/0"
     img = RI.decode_image(RI.render_media_image(ref))
     tag, app, n_blocks = RI.read_header(img)
-    mask = RI.decode_image(MASKS[(app, "default", tag)][0])
+    mask = RI.decode_image(MASKS[(app, RI.read_hw(img), tag)][0])
     alpha = np.zeros(img.shape[:2])
     alpha[: mask.shape[0]] = mask[:, :, 3] / 255.0
     out = (img * alpha[:, :, np.newaxis]).astype(np.uint8)
@@ -78,9 +78,11 @@ def test_mask_library_dim_table(spark):
     df = mask_library_df(spark)
     assert df.columns == ["app", "hw", "tag", "mask_order", "mask_bytes"]
     rows = df.count()
-    assert rows == 2 * len(S.TAGS) * S.N_MASKS
+    # 2 apps x 2 hardware subtrees (aibox/futurecloud) x tags x orders
+    assert rows == 2 * len(RI.HW_VALUES) * len(S.TAGS) * S.N_MASKS
     bc = broadcast_mask_library(spark)
-    assert len(bc.value[("xhs", "default", S.TAGS[0])]) == S.N_MASKS
+    for hw in RI.HW_VALUES:
+        assert len(bc.value[("xhs", hw, S.TAGS[0])]) == S.N_MASKS
 
 
 def test_engine_follows_bytes_not_ref(spark):
@@ -252,3 +254,26 @@ def test_corrupt_payload_dead_letters_not_crashes(spark):
     # exhaustion — the reference logs the two causes separately
     # (core/run.py:640-642 vs 499-501)
     assert all(r["reason"] == "corrupt_payload" for r in dead_rows)
+
+
+def test_hw_dimension_lookup_is_real():
+    """Round-2 verdict item 7: the (app, hw, tag) mask lookup must
+    actually key on hw. A corpus hash-spreads across BOTH hardware
+    values; a library missing one hw subtree must fail exactly that
+    hw's refs (mask lookup miss -> None), and the full library must
+    extract all of them."""
+    refs = [f"mem://hw-{i:04d}/{i % 7}" for i in range(60)]
+    hws = {r: RI.media_hw(r) for r in refs}
+    assert set(hws.values()) == set(RI.HW_VALUES)  # both exercised
+
+    full = RI.masks_by_key(RI.mask_library())
+    aibox_only = RI.masks_by_key(RI.mask_library(hws=("aibox",)))
+    for r in refs:
+        want = S.extract_media_span(r)
+        payload = RI.render_media_image(r)
+        assert RI.extract_from_bytes(payload, full) == want
+        got = RI.extract_from_bytes(payload, aibox_only)
+        if hws[r] == "aibox":
+            assert got == want
+        else:
+            assert got is None  # futurecloud masks absent -> dead letter

@@ -238,21 +238,34 @@ def simhash64_hex(text_col):
         import hashlib
         import re
 
+        import numpy as np
+
         ws_re = re.compile(r"\s+", re.ASCII)
+        shifts = np.arange(64, dtype=np.uint64)
 
         def one(t):
             if t is None:
                 return None
             words_ = [w for w in ws_re.split(t) if w]
-            votes = [0] * 64
-            for w in words_:
-                h = int(hashlib.md5(w.encode("utf-8")).hexdigest()[:16], 16)
-                for j in range(64):
-                    votes[j] += 1 if (h >> j) & 1 else -1
+            if not words_:
+                return format(0, "016x")
+            # md5 stays per word (the irreducible hash cost); the vote
+            # loop is numpy bit-unpacking — (n_words, 64) 0/1 matrix, one
+            # column sum — instead of 64 python iterations PER WORD
+            # (round-2 verdict item 8: measured ~10x on the udf body)
+            h = np.array(
+                [
+                    int.from_bytes(hashlib.md5(w.encode("utf-8")).digest()[:8], "big")
+                    for w in words_
+                ],
+                dtype=np.uint64,
+            )
+            ones = ((h[:, None] >> shifts) & np.uint64(1)).sum(axis=0)
+            # votes = (+1 per set bit, -1 per clear bit) = 2*ones - n > 0
+            set_bits = np.nonzero(2 * ones > len(words_))[0]
             v = 0
-            for j in range(64):
-                if votes[j] > 0:
-                    v |= 1 << j
+            for j in set_bits:
+                v |= 1 << int(j)
             return format(v, "016x")
 
         return texts.map(one)

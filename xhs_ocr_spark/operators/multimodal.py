@@ -240,6 +240,7 @@ RAW_META_SCHEMA = T.StructType(
         T.StructField("media_ref", T.StringType()),
         T.StructField("tag", T.StringType()),
         T.StructField("app", T.StringType()),
+        T.StructField("hw", T.StringType()),
         T.StructField("n_blocks", T.IntegerType()),
         T.StructField("n_bytes", T.LongType()),
     ]
@@ -252,6 +253,8 @@ def raw_media_metadata(media: DataFrame) -> DataFrame:
     (dead-letter by omission, like media_metadata)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..extraction import raw_image as RI
+
         codec = RawRGBACodec()
         for pdf in batches:
             rows = []
@@ -259,10 +262,12 @@ def raw_media_metadata(media: DataFrame) -> DataFrame:
                 d = codec.try_decode(content)  # decode ONCE per payload
                 if d is None:
                     continue
-                _, tag, app, n_blocks = d
-                rows.append((ref, tag, app, n_blocks, len(content)))
+                img, tag, app, n_blocks = d
+                # hardware that captured the screenshot (header byte 6) —
+                # the reference's images/<app>/<hw>/ dimension
+                rows.append((ref, tag, app, RI.read_hw(img), n_blocks, len(content)))
             yield pd.DataFrame(
-                rows, columns=["media_ref", "tag", "app", "n_blocks", "n_bytes"]
+                rows, columns=["media_ref", "tag", "app", "hw", "n_blocks", "n_bytes"]
             )
 
     return media.mapInPandas(run, schema=RAW_META_SCHEMA)

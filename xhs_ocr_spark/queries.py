@@ -1216,7 +1216,7 @@ def q_media_metadata(spark, sf):
     )
     out = raw_media_metadata(media)
     return out.select(
-        "media_ref", "tag", "app",
+        "media_ref", "tag", "app", "hw",
         F.col("n_blocks").cast("long").alias("n_blocks"), "n_bytes",
     )
 
@@ -1227,6 +1227,7 @@ def _sql_media_refs_derived() -> str:
     (tag_idx, app_i, extra) from the ref via the md5-prefix h64 scheme —
     used by BOTH the media-metadata and base64 oracles so the chunking /
     hash rules live in one place."""
+    from .extraction.raw_image import HW_VALUES
     from .extraction.semantics import TAGS
 
     return rf"""
@@ -1242,7 +1243,8 @@ WITH w AS (
   SELECT media_ref,
          CAST(CAST('0x' || substr(md5('tag:' || media_ref), 1, 16) AS UBIGINT) % {len(TAGS)} AS BIGINT) AS tag_idx,
          CAST(CAST('0x' || substr(md5('app:' || media_ref), 1, 16) AS UBIGINT) % 5 = 0 AS BIGINT) AS app_i,
-         CAST(CAST('0x' || substr(md5('doc:' || media_ref), 1, 16) AS UBIGINT) % 3 AS BIGINT) AS extra
+         CAST(CAST('0x' || substr(md5('doc:' || media_ref), 1, 16) AS UBIGINT) % 3 AS BIGINT) AS extra,
+         CAST(CAST('0x' || substr(md5('hw:' || media_ref), 1, 16) AS UBIGINT) % {len(HW_VALUES)} AS BIGINT) AS hw_i
   FROM refs
 )"""
 
@@ -1261,16 +1263,18 @@ def _sql_media_metadata() -> str:
     """Derive (tag, app, n_blocks, n_bytes) arithmetically from media_ref
     the way semantics.media_tag/media_app/run_standin_ocr do (md5-prefix
     h64 mod), over the same chunk-derived media refs as q13/q30."""
-    from .extraction.raw_image import BH, HEADER_BANDS, W
+    from .extraction.raw_image import BH, HEADER_BANDS, HW_VALUES, W
     from .extraction.semantics import TAGS
 
     tag_case = " ".join(f"WHEN {i} THEN '{t}'" for i, t in enumerate(TAGS))
+    hw_case = " ".join(f"WHEN {i} THEN '{h}'" for i, h in enumerate(HW_VALUES))
     need_case = _sql_need_case()
     row_bytes = W * 4 * BH
     return rf"""{_sql_media_refs_derived()}
 SELECT media_ref,
        CASE tag_idx {tag_case} END AS tag,
        CASE WHEN app_i = 1 THEN 'tiktok' ELSE 'xhs' END AS app,
+       CASE hw_i {hw_case} END AS hw,
        (CASE tag_idx {need_case} END) + 2 + extra AS n_blocks,
        ({HEADER_BANDS} + (CASE tag_idx {need_case} END) + 2 + extra) * {row_bytes} AS n_bytes
 FROM derived
@@ -1313,7 +1317,7 @@ def _sql_base64() -> str:
     1 on both engines."""
     import base64 as b64mod
 
-    from .extraction.raw_image import BH, HEADER_BANDS, MAGIC, VERSION, W
+    from .extraction.raw_image import BH, HEADER_BANDS, HW_VALUES, MAGIC, VERSION, W
     from .extraction.semantics import TAG_FIELDS, TAGS
 
     row_bytes = W * 4 * BH
@@ -1322,21 +1326,123 @@ def _sql_base64() -> str:
         need = 8 if tag.startswith("note_traffic_analysis") else len(TAG_FIELDS[tag])
         for app_i in (0, 1):
             for extra in range(3):
-                n_blocks = need + 2 + extra
-                head = bytes([MAGIC[0], MAGIC[1], VERSION, ti, app_i, n_blocks]) + b"\x00" * 30
-                lit = b64mod.b64encode(head).decode()[:48]
-                head_cases.append(f"WHEN {ti * 100 + app_i * 10 + extra} THEN '{lit}'")
+                for hw_i in range(len(HW_VALUES)):
+                    n_blocks = need + 2 + extra
+                    # header byte 6 = hardware index (raw_image.HW_VALUES)
+                    head = (
+                        bytes([MAGIC[0], MAGIC[1], VERSION, ti, app_i, n_blocks, hw_i])
+                        + b"\x00" * 29
+                    )
+                    lit = b64mod.b64encode(head).decode()[:48]
+                    head_cases.append(
+                        f"WHEN {ti * 1000 + app_i * 100 + extra * 10 + hw_i} THEN '{lit}'"
+                    )
     need_case = _sql_need_case()
     return rf"""{_sql_media_refs_derived()}, meta AS (
-  SELECT media_ref, tag_idx, app_i, extra,
+  SELECT media_ref, tag_idx, app_i, extra, hw_i,
          (CASE tag_idx {need_case} END) + 2 + extra AS n_blocks
   FROM derived
 )
 SELECT media_ref,
-       CASE tag_idx * 100 + app_i * 10 + extra {' '.join(head_cases)} END AS b64_head,
+       CASE tag_idx * 1000 + app_i * 100 + extra * 10 + hw_i {' '.join(head_cases)} END AS b64_head,
        CAST(({HEADER_BANDS} + n_blocks) * {row_bytes} AS BIGINT) AS n_bytes,
        CAST(1 AS BIGINT) AS roundtrip_ok
 FROM meta
+"""
+
+
+_CN_KEYS = ["账号ID", "设备IP", "采集日期", "链接"]
+
+
+def _cn_key_cols():
+    """The reference's DEFAULT related key tuple derived deterministically
+    from events: 账号ID/设备IP/采集日期/链接 (db/pipeline.py:21-74 passes
+    related_key=["账号ID","设备IP","采集日期","链接"] to every merge step;
+    db/data_dms.py:201 is the merge that consumes it)."""
+    return [
+        F.col("user_id").cast("string").alias("账号ID"),
+        F.concat(F.lit("10.0."), (F.col("user_id") % 8).cast("string")).alias(
+            "设备IP"
+        ),
+        F.date_format("ts", "yyyy-MM-dd").alias("采集日期"),
+        F.concat(
+            F.lit("https://www.example.com/explore/"),
+            (F.col("user_id") % 50).cast("string"),
+        ).alias("链接"),
+    ]
+
+
+def q_related_key_cn(spark, sf):
+    """Round-2 verdict item 6: the reference's pipeline step 1 shape
+    end-to-end — related_merge of a top/bottom table pair on the DEFAULT
+    4-column key tuple 账号ID/设备IP/采集日期/链接 with CHINESE column
+    names throughout (db/pipeline.py:21-74), the business_time_filter on
+    采集日期 (applied per source read there; equivalent post-merge here
+    because the date is a join key), and the CN->EN registry rename the
+    sync step applies (db/data_sync.py:142-148). Exercises multi-key
+    full-outer merge + last-non-empty-wins conflict + bilingual rename in
+    ONE plan."""
+    from .functions.columns import FIELD_MAPPING_CN2EN, rename_with_mapping
+    from .operators.merges import related_merge
+
+    ev = _t(spark, sf, "events")
+    base = ev.select(*_cn_key_cols(), "event_type")
+    n = F.count("*")
+    top = (
+        base.where(F.col("event_type") == "view")
+        .groupBy(*_CN_KEYS)
+        .agg(
+            n.cast("string").alias("曝光数"),
+            F.when(n % 3 == 0, F.lit(""))
+            .otherwise(n.cast("string"))
+            .alias("点赞数"),
+        )
+    )
+    bottom = (
+        base.where(F.col("event_type") == "click")
+        .groupBy(*_CN_KEYS)
+        .agg(
+            F.when(n % 2 == 0, F.lit(""))
+            .otherwise((n * 10).cast("string"))
+            .alias("点赞数"),
+            n.cast("string").alias("评论数"),
+        )
+    )
+    merged = related_merge([top, bottom], _CN_KEYS)
+    merged = merged.where(F.col("采集日期") >= "2024-01-04")
+    return rename_with_mapping(merged, FIELD_MAPPING_CN2EN)
+
+
+SQL_RELATED_KEY_CN = """
+WITH base AS (
+  SELECT CAST(user_id AS VARCHAR) AS account_id,
+         '10.0.' || CAST(user_id % 8 AS VARCHAR) AS device_ip,
+         strftime(ts, '%Y-%m-%d') AS collection_date,
+         'https://www.example.com/explore/' || CAST(user_id % 50 AS VARCHAR) AS url,
+         event_type
+  FROM events
+), top AS (
+  SELECT account_id, device_ip, collection_date, url,
+         CAST(count(*) AS VARCHAR) AS exposure_count,
+         CASE WHEN count(*) % 3 = 0 THEN '' ELSE CAST(count(*) AS VARCHAR) END AS likes
+  FROM base WHERE event_type = 'view' GROUP BY ALL
+), bottom AS (
+  SELECT account_id, device_ip, collection_date, url,
+         CASE WHEN count(*) % 2 = 0 THEN '' ELSE CAST(count(*) * 10 AS VARCHAR) END AS likes,
+         CAST(count(*) AS VARCHAR) AS comments
+  FROM base WHERE event_type = 'click' GROUP BY ALL
+)
+SELECT coalesce(t.account_id, b.account_id) AS account_id,
+       coalesce(t.device_ip, b.device_ip) AS device_ip,
+       coalesce(t.collection_date, b.collection_date) AS collection_date,
+       coalesce(t.url, b.url) AS url,
+       coalesce(t.exposure_count, '') AS exposure_count,
+       coalesce(nullif(b.likes, ''), nullif(t.likes, ''), '') AS likes,
+       coalesce(b.comments, '') AS comments
+FROM top t FULL OUTER JOIN bottom b
+  ON t.account_id = b.account_id AND t.device_ip = b.device_ip
+ AND t.collection_date = b.collection_date AND t.url = b.url
+WHERE coalesce(t.collection_date, b.collection_date) >= '2024-01-04'
 """
 
 
@@ -1403,6 +1509,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q38_sidecar_posts": q_sidecar_posts,
         "q39_media_metadata": q_media_metadata,
         "q40_base64_roundtrip": q_base64_roundtrip,
+        "q41_related_key_cn": q_related_key_cn,
     }
 
 
@@ -1446,6 +1553,7 @@ def oracle_sql() -> dict[str, str]:
         "q38_sidecar_posts": SQL_SIDECAR_POSTS,
         "q39_media_metadata": _sql_media_metadata(),
         "q40_base64_roundtrip": _sql_base64(),
+        "q41_related_key_cn": SQL_RELATED_KEY_CN,
         # q30: expected output precomputed by the shared pure-Python
         # semantics into a parquet fixture (scripts/build_fixtures.py) —
         # committed only for the oracle scales (sf0.001/sf0.01); at any
