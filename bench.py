@@ -9,6 +9,14 @@ not scheduling-bound).
 
 Also times the headline relational/training-data queries (wall sec each).
 
+The JSON carries a `vm_calibration_sec` pair (pre/post): wall time of a
+fixed Spark-free single-core md5 workload, measured before and after the
+Spark work. This VM has documented multi-minute frequency bands where
+ANY code runs 1.3-5x slower; the calibration pins which band the
+recorded pass landed in, so two rounds' headlines can be compared
+honestly (a fast-band calibration is ~0.16s; slow bands scale it up by
+the same factor that scales the Spark timings).
+
     SPARK_GRAFT_SF_DIR  input dir  (default /root/testdata/sf0.1)
     SPARK_GRAFT_CPUS    local[N]   (default 32)
     BENCH_REPLICATE     corpus amplification factor (default 10)
@@ -88,11 +96,29 @@ def staged_corpus(spark, sf_dir: str, replicate: int, stage_dir: str, files: int
     return spark.read.parquet(stage_dir)
 
 
+def vm_calibration_sec(mb: int = 96) -> float:
+    """Wall seconds for a fixed single-core md5 workload — Spark-free, so
+    it measures only the VM's current per-core speed band (~0.16s on a
+    fast band). Recorded pre/post so the JSON artifact itself shows which
+    band the timed passes landed in."""
+    import hashlib
+
+    blob = b"\x5a" * (1 << 20)
+    t0 = time.perf_counter()
+    h = hashlib.md5()
+    for _ in range(mb):
+        h.update(blob)
+    h.hexdigest()
+    return round(time.perf_counter() - t0, 3)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     replicate = int(os.environ.get("BENCH_REPLICATE", "10"))
     sf = sf_dir.rstrip("/").split("sf")[-1]
+
+    cal_pre = vm_calibration_sec()
 
     spark = get_spark("xhs-ocr-spark-bench", cores=cores)
 
@@ -158,6 +184,8 @@ def main() -> None:
 
     ivf_recall = {"nprobe1": _recall(1), "nprobe2": _recall(2), "nprobe4": _recall(4)}
 
+    cal_post = vm_calibration_sec()
+
     print(
         json.dumps(
             {
@@ -173,6 +201,7 @@ def main() -> None:
                 "rounds": rounds,
                 "query_spread_maxmin": spread,
                 "ivf_recall_at_3": ivf_recall,
+                "vm_calibration_sec": {"pre": cal_pre, "post": cal_post},
             }
         )
     )

@@ -289,7 +289,20 @@ def reassemble(extracted_flat: DataFrame) -> DataFrame:
     )
 
 
-SPREAD_MULT = 4  # spread partitions per core (see _spread_flat)
+SPREAD_MULT_MAX = 4  # spread partitions per core, large inputs (see _spread_flat)
+SPREAD_MULT_MIN = 2  # spread partitions per core, small inputs
+SPREAD_TASK_MB = 4  # target compressed-scan MB per spread task
+
+
+def _estimated_input_mb(df: DataFrame) -> float:
+    """Catalyst's size estimate for the plan's input, in MB. For a parquet
+    scan this is the file footprint; unknown stats return Long.Max, which
+    the caller treats as 'large' — the safe at-scale default."""
+    try:
+        jstats = df._jdf.queryExecution().optimizedPlan().stats()
+        return int(jstats.sizeInBytes()) / (1 << 20)
+    except Exception:
+        return float("inf")
 
 
 def _spread_flat(docs: DataFrame, spread_partitions: int | None) -> DataFrame:
@@ -298,17 +311,27 @@ def _spread_flat(docs: DataFrame, spread_partitions: int | None) -> DataFrame:
     exactly once (round-1 verdict item 5 — the old per-branch filters
     produced two full scans + duplicated derivation).
 
-    Spread width = 4x parallelism (round-2 verdict item 5): the python
+    Spread width is size-aware (round-2 verdict item 5): the python
     stage's per-task times vary ~1.6x (payload mix), so with only 2 task
     waves the last straggler adds a fixed ~0.5-1s tail per pass — one of
     the serial-head components that caps scaling efficiency. 4 waves
-    amortize the tail (measured ~15% faster at local[16] on the bench
-    corpus, neutral at local[4]); per-task overhead stays negligible
-    (~20ms against ~1s tasks)."""
-    parts = (
-        spread_partitions
-        or docs.sparkSession.sparkContext.defaultParallelism * SPREAD_MULT
-    )
+    amortize the tail on large inputs (measured ~21% faster 16-core best
+    pass at 800k docs, 331 MB compressed). But on SMALL inputs the extra
+    waves cost more than the tail they amortize (measured ~10-25% slower
+    at 50k docs / 24 MB on 32 cores: per-task overhead stops being
+    negligible when tasks shrink to ~0.2 MB of scan input). Policy:
+    one spread task per ~4 MB of Catalyst-estimated input, clamped to
+    [2x, 4x] parallelism — small corpora keep 2 waves, everything at
+    scale (including unknown-stats inputs) gets the 4-wave tail
+    amortization."""
+    sc = docs.sparkSession.sparkContext
+    if spread_partitions is not None:
+        parts = spread_partitions
+    else:
+        by_size = _estimated_input_mb(docs) / SPREAD_TASK_MB
+        lo = sc.defaultParallelism * SPREAD_MULT_MIN
+        hi = sc.defaultParallelism * SPREAD_MULT_MAX
+        parts = int(min(hi, max(lo, by_size)))
     return explode_spans(docs).repartition(parts, "doc_id", "offset")
 
 
