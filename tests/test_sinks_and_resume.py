@@ -102,3 +102,101 @@ def test_resume_after_crash(spark, tmp_path):
         # the pruned directories, which we can't see here, but the staged
         # path must be the scan target (not the raw docs frame)
         assert "staged_input" in plan
+
+
+# -- BucketedMergeTable: copy-on-write at bucket granularity ------------------
+
+
+def _rows(table):
+    return sorted(tuple(r) for r in table.read().select("k", "v").collect())
+
+
+def test_bucketed_semantics_match_flat(spark, tmp_path):
+    """Same op sequence on the flat and bucketed tables -> same rows."""
+    from xhs_ocr_spark.sinks import BucketedMergeTable
+
+    flat = ParquetMergeTable(spark, str(tmp_path / "flat"))
+    buck = BucketedMergeTable(spark, str(tmp_path / "buck"), keys=["k"], n_buckets=8)
+    batches = [
+        ("upsert", [("a", "1"), ("b", "1")]),
+        ("insert_ignore", [("a", "2"), ("c", "1")]),
+        ("upsert", [("b", "2"), ("d", "1")]),
+        ("append", [("e", "1")]),
+        ("insert_ignore", [("e", "9"), ("f", "1")]),
+    ]
+    for op, rows in batches:
+        df = spark.createDataFrame([Row(k=k, v=v) for k, v in rows])
+        getattr(flat, op)(df, ["k"]) if op != "append" else flat.append(df)
+        getattr(buck, op)(df, ["k"]) if op != "append" else buck.append(df)
+    assert _rows(buck) == _rows(flat)
+    assert _rows(buck) == [
+        ("a", "1"), ("b", "2"), ("c", "1"), ("d", "1"), ("e", "1"), ("f", "1"),
+    ]
+
+
+def test_bucketed_merge_is_copy_on_write(spark, tmp_path):
+    """A merge touching one key rewrites only that key's bucket: every
+    other bucket's parquet files in the new snapshot are HARD LINKS to
+    the previous snapshot's files (same inode — no data copied), which is
+    the file-level reuse Iceberg's copy-on-write MERGE gets via manifests."""
+    import os as _os
+
+    from xhs_ocr_spark.sinks import BucketedMergeTable
+
+    t = BucketedMergeTable(spark, str(tmp_path / "cow"), keys=["k"], n_buckets=8)
+    seed = spark.createDataFrame([Row(k=f"k{i}", v="old") for i in range(200)])
+    t.upsert(seed)
+    t.upsert(spark.createDataFrame([Row(k="k0", v="new")]))
+
+    snaps = t.snapshot_ids()
+    assert len(snaps) == 2
+    prev_dir = _os.path.join(str(tmp_path / "cow"), "snapshots", f"{snaps[0]:06d}")
+    new_dir = _os.path.join(str(tmp_path / "cow"), "snapshots", f"{snaps[1]:06d}")
+
+    def inodes(snap_dir):
+        out = {}
+        for d in _os.listdir(snap_dir):
+            if d.startswith("_mt_bucket="):
+                b = int(d.split("=")[1])
+                out[b] = {
+                    _os.stat(_os.path.join(snap_dir, d, f)).st_ino
+                    for f in _os.listdir(_os.path.join(snap_dir, d))
+                    if f.endswith(".parquet")
+                }
+        return out
+
+    prev_i, new_i = inodes(prev_dir), inodes(new_dir)
+    linked = [b for b in new_i if b in prev_i and new_i[b] and new_i[b] <= prev_i[b]]
+    rewritten = [b for b in new_i if b not in linked]
+    assert len(rewritten) == 1  # exactly the bucket containing k0
+    assert len(linked) == len(prev_i) - 1  # everything else carried forward
+    # and the data is right
+    got = {r["k"]: r["v"] for r in t.read().collect()}
+    assert got["k0"] == "new" and got["k1"] == "old" and len(got) == 200
+
+
+def test_bucketed_lookup_partition_prunes(spark, tmp_path):
+    """Point lookup folds the bucket hash of the literal key into a
+    partition filter — the scan reads 1 of n_buckets partitions."""
+    from xhs_ocr_spark.sinks import BucketedMergeTable
+
+    t = BucketedMergeTable(spark, str(tmp_path / "pt"), keys=["k"], n_buckets=8)
+    t.upsert(spark.createDataFrame([Row(k=f"k{i}", v=str(i)) for i in range(100)]))
+    hit = t.lookup(k="k7")
+    plan = hit._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "_mt_bucket" in plan
+    assert [(r["k"], r["v"]) for r in hit.collect()] == [("k7", "7")]
+
+
+def test_bucketed_schema_evolution_falls_back_correctly(spark, tmp_path):
+    from xhs_ocr_spark.sinks import BucketedMergeTable
+
+    t = BucketedMergeTable(spark, str(tmp_path / "ev"), keys=["k"], n_buckets=4)
+    t.upsert(spark.createDataFrame([Row(k="a", v="old"), Row(k="b", v="keep")]))
+    t.upsert(spark.createDataFrame([Row(k="a", v="new", extra="42")]))
+    got = {r["k"]: r.asDict() for r in t.read().collect()}
+    assert got["a"]["v"] == "new" and got["a"]["extra"] == "42"
+    assert got["b"]["v"] == "keep" and got["b"]["extra"] == ""
+    # layout survives the fallback: next merge is copy-on-write again
+    t.upsert(spark.createDataFrame([Row(k="b", v="touch", extra="x")]))
+    assert {r["v"] for r in t.lookup(k="b").collect()} == {"touch"}

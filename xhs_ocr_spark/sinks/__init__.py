@@ -1,3 +1,3 @@
 """Sinks: MERGE-semantics tables (Iceberg stand-in) and dead-letter."""
 
-from .merge_table import ParquetMergeTable  # noqa: F401
+from .merge_table import BucketedMergeTable, ParquetMergeTable  # noqa: F401
