@@ -111,3 +111,33 @@ def test_ivf_recall_floor_spherical(spark):
         for r in SS.ivf_topk_kmeans(e, queries, cents, k=3, nprobe=4).collect()
     }
     assert len(got & truth) / len(truth) >= 0.8
+
+
+def test_repetition_ratios_handcrafted(spark):
+    """q42 semantics on known text: 'a b c a b c a b c' has 9 words /
+    3 distinct -> dup_word = (9-3)*1000 DIV 9 = 666; 7 trigrams / 3
+    distinct ('a b c','b c a','c a b') -> (7-3)*1000 DIV 7 = 571."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Row
+
+    from xhs_ocr_spark.operators import textops as TX
+
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text="a b c a b c a b c"), Row(doc_id=2, text="x y"),
+         Row(doc_id=3, text="unique words only here")]
+    )
+    ws = TX.words(F.col("text"))
+    tg = TX.trigrams(F.col("text"))
+    m = df.select(
+        "doc_id",
+        F.size(ws).alias("n"), F.size(F.array_distinct(ws)).alias("dw"),
+        F.size(tg).alias("t"), F.size(F.array_distinct(tg)).alias("dt"),
+    ).select(
+        "doc_id",
+        F.expr("CASE WHEN n > 0 THEN ((n - dw) * 1000) DIV n ELSE 0 END").alias("w"),
+        F.expr("CASE WHEN t > 0 THEN ((t - dt) * 1000) DIV t ELSE 0 END").alias("g"),
+    )
+    got = {r["doc_id"]: (r["w"], r["g"]) for r in m.collect()}
+    assert got[1] == (666, 571)
+    assert got[2] == (0, 0)   # below trigram threshold, no word repeats
+    assert got[3] == (0, 0)

@@ -108,6 +108,22 @@ def lang_id(text: Column) -> Column:
     return best
 
 
+def trigrams(text: Column) -> Column:
+    """Word 3-grams as strings ("w1 w2 w3"); empty array below 3 words.
+    CASE is runtime-lazy, so sequence(1, n-2) never evaluates with an
+    invalid range. JVM-only (whole-stage codegen) — the repetition
+    signals built on this run at scan speed."""
+    ws = words(text)
+    n = F.size(ws)
+    tg = F.transform(
+        F.sequence(F.lit(1), n - F.lit(2)),
+        lambda i: F.concat_ws(
+            " ", F.element_at(ws, i), F.element_at(ws, i + 1), F.element_at(ws, i + 2)
+        ),
+    )
+    return F.when(n >= 3, tg).otherwise(F.array().cast("array<string>"))
+
+
 def fingerprint(text: Column) -> Column:
     """Document fingerprint: md5 of casefolded, whitespace-normalized text.
     (Exact-dedup key; the rolling-hash variant is h64 of the same.)"""

@@ -602,6 +602,52 @@ FROM m
 """
 
 
+def q_repetition(spark, sf):
+    """Gopher-style repetition quality signals: the fraction of word and
+    word-3-gram occurrences that are repeats — high values mark boiler-
+    plate/spam documents a training pipeline drops. Exact integer
+    arithmetic ((count*1000) DIV total, no floating point) so Spark and
+    DuckDB agree bit-for-bit; pure JVM expressions, scan-speed at 100 TB."""
+    d = _t(spark, sf, "documents")
+    ws = TX.words(F.col("text"))
+    tg = TX.trigrams(F.col("text"))
+    m = d.select(
+        "doc_id",
+        F.size(ws).alias("n"),
+        F.size(F.array_distinct(ws)).alias("dw"),
+        F.size(tg).alias("t"),
+        F.size(F.array_distinct(tg)).alias("dt"),
+    )
+    return m.select(
+        "doc_id",
+        F.expr(
+            "CAST(CASE WHEN n > 0 THEN ((n - dw) * 1000) DIV n ELSE 0 END AS BIGINT)"
+        ).alias("dup_word_x1000"),
+        F.expr(
+            "CAST(CASE WHEN t > 0 THEN ((t - dt) * 1000) DIV t ELSE 0 END AS BIGINT)"
+        ).alias("dup_trigram_x1000"),
+    )
+
+
+SQL_REPETITION = r"""
+WITH w AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS ws
+  FROM documents
+), m AS (
+  SELECT doc_id, len(ws) AS n, len(list_distinct(ws)) AS dw,
+         CASE WHEN len(ws) >= 3
+              THEN list_transform(generate_series(1, len(ws) - 2),
+                                  i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+              ELSE CAST([] AS VARCHAR[]) END AS tg
+  FROM w
+)
+SELECT doc_id,
+       CAST(CASE WHEN n > 0 THEN ((n - dw) * 1000) // n ELSE 0 END AS BIGINT) AS dup_word_x1000,
+       CAST(CASE WHEN len(tg) > 0 THEN ((len(tg) - len(list_distinct(tg))) * 1000) // len(tg) ELSE 0 END AS BIGINT) AS dup_trigram_x1000
+FROM m
+"""
+
+
 def q_lang_id(spark, sf):
     d = _t(spark, sf, "documents")
     return d.select("doc_id", TX.lang_id(F.col("text")).alias("lang_guess"))
@@ -1510,6 +1556,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q39_media_metadata": q_media_metadata,
         "q40_base64_roundtrip": q_base64_roundtrip,
         "q41_related_key_cn": q_related_key_cn,
+        "q42_repetition": q_repetition,
     }
 
 
@@ -1554,6 +1601,7 @@ def oracle_sql() -> dict[str, str]:
         "q39_media_metadata": _sql_media_metadata(),
         "q40_base64_roundtrip": _sql_base64(),
         "q41_related_key_cn": SQL_RELATED_KEY_CN,
+        "q42_repetition": SQL_REPETITION,
         # q30: expected output precomputed by the shared pure-Python
         # semantics into a parquet fixture (scripts/build_fixtures.py) —
         # committed only for the oracle scales (sf0.001/sf0.01); at any
