@@ -141,3 +141,37 @@ def test_repetition_ratios_handcrafted(spark):
     assert got[1] == (666, 571)
     assert got[2] == (0, 0)   # below trigram threshold, no word repeats
     assert got[3] == (0, 0)
+
+
+def test_pii_scrub_nontrivial(spark):
+    """q43 on PII-laden text (the sf corpus has none, so the oracle row
+    only proves the no-op path): URLs scrub before emails so a URL
+    userinfo part is not double-counted; both counts and the rewritten
+    string are pinned, and DuckDB (RE2) agrees with Spark (Java regex)."""
+    import duckdb
+    import pyspark.sql.functions as F
+
+    from xhs_ocr_spark import queries as Q
+
+    text = "ping a.b+c@ex-ample.org via https://u:pw@t.co/q?a=1 or b@c.io end"
+    df = spark.createDataFrame([("d1", text)], "doc_id string, text string")
+    no_url = F.regexp_replace(F.col("text"), Q._URL_RE, "[URL]")
+    got = df.select(
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(Q._URL_RE), 0)).alias("u"),
+        F.size(F.regexp_extract_all(no_url, F.lit(Q._EMAIL_RE), 0)).alias("e"),
+        F.regexp_replace(no_url, Q._EMAIL_RE, "[EMAIL]").alias("s"),
+    ).collect()[0]
+    assert (got["u"], got["e"]) == (1, 2)
+    assert got["s"] == "ping [EMAIL] via [URL] or [EMAIL] end"
+
+    con = duckdb.connect()
+    dk = con.execute(
+        r"""SELECT len(regexp_extract_all(t, 'https?://[^ \t\n]+')),
+                   len(regexp_extract_all(regexp_replace(t, 'https?://[^ \t\n]+', '[URL]', 'g'),
+                                          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+')),
+                   regexp_replace(regexp_replace(t, 'https?://[^ \t\n]+', '[URL]', 'g'),
+                                  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+', '[EMAIL]', 'g')
+            FROM (SELECT ? AS t)""",
+        [text],
+    ).fetchone()
+    assert dk == (1, 2, got["s"])

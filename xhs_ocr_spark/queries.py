@@ -648,6 +648,46 @@ FROM m
 """
 
 
+_EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+"
+_URL_RE = "https?://[^ \\t\\n]+"
+
+
+def q_pii_scrub(spark, sf):
+    """PII/URL scrubbing — a first-class training-data op (emails and
+    URLs are redacted before a corpus ships). Counts each occurrence and
+    rewrites the text with [EMAIL]/[URL] placeholders. The regexes use
+    only the class/quantifier subset that Java regex (Spark) and RE2
+    (DuckDB) treat identically — no backrefs, no lookarounds, no {m,n}
+    braces. URLs are scrubbed FIRST so an email-looking userinfo part
+    inside a URL counts as URL, not email, in both engines."""
+    d = _t(spark, sf, "documents")
+    no_url = F.regexp_replace(F.col("text"), _URL_RE, "[URL]")
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(_URL_RE), 0))
+        .cast("long")
+        .alias("n_urls"),
+        F.size(F.regexp_extract_all(no_url, F.lit(_EMAIL_RE), 0))
+        .cast("long")
+        .alias("n_emails"),
+        F.regexp_replace(no_url, _EMAIL_RE, "[EMAIL]").alias("scrubbed"),
+    )
+
+
+SQL_PII_SCRUB = r"""
+WITH u AS (
+  SELECT doc_id, text,
+         regexp_replace(text, 'https?://[^ \t\n]+', '[URL]', 'g') AS no_url
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, 'https?://[^ \t\n]+')) AS BIGINT) AS n_urls,
+       CAST(len(regexp_extract_all(no_url, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+')) AS BIGINT) AS n_emails,
+       regexp_replace(no_url, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+', '[EMAIL]', 'g') AS scrubbed
+FROM u
+"""
+
+
 def q_lang_id(spark, sf):
     d = _t(spark, sf, "documents")
     return d.select("doc_id", TX.lang_id(F.col("text")).alias("lang_guess"))
@@ -1557,6 +1597,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q40_base64_roundtrip": q_base64_roundtrip,
         "q41_related_key_cn": q_related_key_cn,
         "q42_repetition": q_repetition,
+        "q43_pii_scrub": q_pii_scrub,
     }
 
 
@@ -1602,6 +1643,7 @@ def oracle_sql() -> dict[str, str]:
         "q40_base64_roundtrip": _sql_base64(),
         "q41_related_key_cn": SQL_RELATED_KEY_CN,
         "q42_repetition": SQL_REPETITION,
+        "q43_pii_scrub": SQL_PII_SCRUB,
         # q30: expected output precomputed by the shared pure-Python
         # semantics into a parquet fixture (scripts/build_fixtures.py) —
         # committed only for the oracle scales (sf0.001/sf0.01); at any
