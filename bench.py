@@ -53,6 +53,8 @@ BENCH_QUERIES = [
     "q28_cosine_topk",
     "q29_embedding_neardup",
     "q36_simhash64",
+    "q42_repetition",
+    "q43_pii_scrub",
 ]
 
 
