@@ -200,3 +200,79 @@ def test_bucketed_schema_evolution_falls_back_correctly(spark, tmp_path):
     # layout survives the fallback: next merge is copy-on-write again
     t.upsert(spark.createDataFrame([Row(k="b", v="touch", extra="x")]))
     assert {r["v"] for r in t.lookup(k="b").collect()} == {"touch"}
+
+
+# -- round-4 ADVICE fixes -----------------------------------------------------
+
+
+def test_crashed_commit_retry(spark, tmp_path):
+    """A crash between the snapshot write and the LATEST pointer flip
+    leaves a stale snapshots/<sid> directory; the next merge recomputes
+    the same sid and must overwrite it instead of wedging on
+    PATH_ALREADY_EXISTS (ADVICE r3, reproduced there)."""
+    import os as _os
+
+    from xhs_ocr_spark.sinks import BucketedMergeTable
+
+    t = BucketedMergeTable(spark, str(tmp_path / "crash"), keys=["k"], n_buckets=4)
+    t.upsert(spark.createDataFrame([Row(k="a", v="1"), Row(k="b", v="1")]))
+    # simulate the crashed commit: sid 2 written (partially), pointer not flipped
+    stale = _os.path.join(str(tmp_path / "crash"), "snapshots", "000002")
+    _os.makedirs(_os.path.join(stale, "_mt_bucket=0"))
+    with open(_os.path.join(stale, "_mt_bucket=0", "part-junk.parquet"), "wb") as f:
+        f.write(b"not parquet")
+    # retry of the merge must succeed and produce the right rows
+    t.upsert(spark.createDataFrame([Row(k="a", v="2")]))
+    got = {r["k"]: r["v"] for r in t.read().collect()}
+    assert got == {"a": "2", "b": "1"}
+
+
+def test_lookup_typed_keys_prune_to_right_bucket(spark, tmp_path):
+    """lookup() must hash the literal through Spark's cast of the STORED
+    column type — Python str() disagrees with Spark for bool/float keys
+    ('True' vs 'true'), silently pruning to an empty bucket (ADVICE r3)."""
+    from pyspark.sql import types as T
+
+    from xhs_ocr_spark.sinks import BucketedMergeTable
+
+    schema = T.StructType(
+        [
+            T.StructField("k_bool", T.BooleanType()),
+            T.StructField("k_float", T.DoubleType()),
+            T.StructField("v", T.StringType()),
+        ]
+    )
+    t = BucketedMergeTable(
+        spark, str(tmp_path / "typed"), keys=["k_bool", "k_float"], n_buckets=8
+    )
+    rows = [(i % 2 == 0, float(i) + 0.5, f"v{i}") for i in range(40)]
+    t.upsert(spark.createDataFrame(rows, schema=schema))
+    hit = t.lookup(k_bool=True, k_float=2.5)
+    assert [(r["k_bool"], r["k_float"], r["v"]) for r in hit.collect()] == [
+        (True, 2.5, "v2")
+    ]
+    plan = hit._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "_mt_bucket" in plan
+
+
+def test_staged_input_guard_rejects_stale_stage(spark, tmp_path):
+    """Resuming against the same out_dir with different n_buckets (or a
+    different corpus) must fail loudly, not silently process the stale
+    staged input (ADVICE r3)."""
+    import pytest as _pytest
+
+    docs = datagen.generate_corpus(spark, 16, partitions=2)
+    out = str(tmp_path / "guard")
+    CheckpointedExtraction(spark, out, n_buckets=4, waves=1).run(docs)
+
+    # different bucketing, same out_dir -> loud failure
+    with _pytest.raises(RuntimeError, match="n_buckets"):
+        CheckpointedExtraction(spark, out, n_buckets=8, waves=1).run(docs)
+
+    # different corpus, same out_dir -> loud failure
+    other = datagen.generate_corpus(spark, 20, partitions=2)
+    with _pytest.raises(RuntimeError, match="refusing to resume"):
+        CheckpointedExtraction(spark, out, n_buckets=4, waves=1).run(other)
+
+    # matching resume still a clean no-op
+    CheckpointedExtraction(spark, out, n_buckets=4, waves=1).run(docs)

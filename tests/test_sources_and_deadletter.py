@@ -55,3 +55,28 @@ def test_deadletter_matches_oracle(spark):
         (r["doc_id"], r["kind"], r["text"], r["media_ref"], r["order"]) for r in ok.collect()
     }
     assert got_ok == exp_ok
+
+
+def test_null_media_ref_dead_letter_has_reason(spark):
+    """No-bytes fallback: a NULL media_ref maps to NaN under
+    na_action='ignore'; the reason must still be 'all_masks_failed', not
+    NULL (ADVICE r3 — `t is not None` was True for NaN)."""
+    docs = spark.createDataFrame(
+        [
+            (
+                "d0",
+                [
+                    {"kind": "media", "text": None, "media_ref": None, "offset": 0},
+                    {"kind": "text", "text": "plain words here", "media_ref": None,
+                     "offset": 1},
+                ],
+            )
+        ],
+        schema="doc_id string, spans array<struct<kind:string,text:string,"
+               "media_ref:string,offset:int>>",
+    )
+    ok, dead = extract_spans_with_deadletter(docs, spread_partitions=2)
+    rows = dead.collect()
+    assert len(rows) == 1
+    assert rows[0]["reason"] == "all_masks_failed"
+    assert [r["kind"] for r in ok.collect()] == ["text"]

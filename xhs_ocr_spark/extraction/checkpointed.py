@@ -106,9 +106,37 @@ class CheckpointedExtraction:
         wave. On Iceberg this staging write is the bucket(doc_id,
         n_buckets) partition transform on ingest — no extra copy at all.
         The staged table is part of the checkpoint: a resume reuses it
-        (identical bucketing guaranteed), like any other checkpoint state."""
+        (identical bucketing guaranteed), like any other checkpoint state.
+
+        Reuse is guarded by a stage-metadata file (ADVICE r3): a rerun
+        against the same out_dir with a different n_buckets or a different
+        input would silently process the stale staged corpus (buckets >=
+        the staged modulus read zero docs and get checkpointed complete
+        with 0 rows) — so the stage records (n_buckets, n_docs) and a
+        mismatched resume fails loudly instead."""
+        import json
+
         marker = os.path.join(self.stage_dir, "_SUCCESS")
-        if not os.path.exists(marker):
+        meta_path = os.path.join(self.stage_dir, "_STAGE_META.json")
+        if os.path.exists(marker):
+            try:
+                with open(meta_path) as f:
+                    meta = json.load(f)
+            except (FileNotFoundError, ValueError):
+                raise RuntimeError(
+                    f"staged input at {self.stage_dir} has no stage metadata; "
+                    "delete the staged_input directory to restage"
+                ) from None
+            n_docs = docs.count()  # parquet count() is metadata-only
+            if meta.get("n_buckets") != self.n_buckets or meta.get("n_docs") != n_docs:
+                raise RuntimeError(
+                    f"staged input at {self.stage_dir} was built with "
+                    f"n_buckets={meta.get('n_buckets')} over {meta.get('n_docs')} "
+                    f"docs, but this run has n_buckets={self.n_buckets} over "
+                    f"{n_docs} docs — refusing to resume against a stale stage; "
+                    "use a fresh out_dir or delete staged_input to restage"
+                )
+        else:
             parts = max(
                 self.n_buckets, self.spark.sparkContext.defaultParallelism
             )
@@ -122,6 +150,9 @@ class CheckpointedExtraction:
                 .partitionBy("bucket")
                 .parquet(self.stage_dir)
             )
+            staged_count = self.spark.read.parquet(self.stage_dir).count()
+            with open(meta_path, "w") as f:
+                json.dump({"n_buckets": self.n_buckets, "n_docs": staged_count}, f)
         return self.spark.read.parquet(self.stage_dir)
 
     # -- run -------------------------------------------------------------------

@@ -141,8 +141,13 @@ class _Engine:
                 pd.Series([r for _, r in out], index=media_refs.index, dtype=object),
             )
         texts = media_refs.map(extract_media_span, na_action="ignore")
+        # na_action='ignore' yields NaN (not None) for a null media_ref;
+        # `t is not None` would then record a NULL reason for that dead
+        # letter (ADVICE r3) — pd.isna covers both None and NaN, and the
+        # texts series is normalized back to None for Arrow.
+        texts = texts.where(pd.notna(texts), None)
         reasons = pd.Series(
-            [None if t is not None else "all_masks_failed" for t in texts],
+            ["all_masks_failed" if pd.isna(t) else None for t in texts],
             index=media_refs.index,
             dtype=object,
         )

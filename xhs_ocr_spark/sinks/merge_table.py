@@ -225,7 +225,15 @@ class BucketedMergeTable(ParquetMergeTable):
         df = self._read_raw()
         if df is None:
             raise FileNotFoundError(f"no snapshot at {self.path}")
-        target = self._bucket_expr([F.lit(str(key_values[k])) for k in self.keys])
+        # type the literal as the stored column before hashing: stored
+        # buckets hash col.cast('string'), and Spark's string cast differs
+        # from Python str() for bool ('true' vs 'True'), floats and
+        # timestamps — a str()-hashed literal would prune to the WRONG
+        # bucket and silently return zero rows (ADVICE r3)
+        dtypes = {f.name: f.dataType for f in df.schema.fields}
+        target = self._bucket_expr(
+            [F.lit(key_values[k]).cast(dtypes[k]) for k in self.keys]
+        )
         df = df.where(F.col(self.BUCKET_COL) == target)
         for k, v in key_values.items():
             df = df.where(F.col(k) == v)
@@ -245,9 +253,14 @@ class BucketedMergeTable(ParquetMergeTable):
         # task writes one file PER bucket it holds (tasks x buckets tiny
         # files — measured 10x slower than the flat rewrite at 256
         # buckets); after it each bucket is one file written by one task.
-        merged.repartition(F.col(self.BUCKET_COL)).write.partitionBy(
-            self.BUCKET_COL
-        ).parquet(out)
+        # mode('overwrite'): a crash between this write and the LATEST
+        # pointer flip leaves a stale snapshots/<sid> that the next merge
+        # recomputes — errorifexists would wedge the table permanently
+        # (ADVICE r3). Overwrite only unlinks the NEW directory's names;
+        # hard-linked files in older snapshots keep their own links.
+        merged.repartition(F.col(self.BUCKET_COL)).write.mode(
+            "overwrite"
+        ).partitionBy(self.BUCKET_COL).parquet(out)
         if prev_sid is not None:
             prev = os.path.join(self._snap_dir, f"{prev_sid:06d}")
             for d in os.listdir(prev):
