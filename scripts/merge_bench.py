@@ -8,11 +8,13 @@ reporting wall time and new bytes written per merge.
 
 The point regime is what bucketed copy-on-write exists for: cost is
 O(touched buckets), not O(table) — at 10^12 rows a correction pass
-touching a few keys rewrites a few buckets. The scattered regime shows
-the honest limit: hash bucketing spreads any large key set across all
-buckets, so the sink detects it and falls back to a single full-bucket
-rewrite job (Iceberg copy-on-write has the same property; merge-on-read
-is the production answer there). Usage:
+touching a few keys rewrites a few buckets. The scattered regime is
+where copy-on-write degrades to a full rewrite (hash bucketing spreads
+any large key set across all buckets); the sink now routes it through
+MERGE-ON-READ — O(batch) delta + equality-delete files, resolved at
+read time — so the scattered report also times the post-merge read()
+(the read amplification MOR trades for) and the explicit compact()
+that folds the deltas back into the base. Usage:
 
     python scripts/merge_bench.py [n_base]
 """
@@ -80,11 +82,23 @@ def main() -> None:
                 table.upsert(batch(n_upd), ["k"])
                 wall = time.time() - t0
                 new_bytes = _dir_bytes(table.path) - seeded_bytes
+                t0 = time.time()
+                rows = table.read().count()
+                read_sec = time.time() - t0
                 results[name] = {
                     "merge_sec": round(wall, 2),
                     "new_mb_written": round(new_bytes / 1e6, 1),
-                    "rows": table.read().count(),
+                    "read_sec": round(read_sec, 2),
+                    "rows": rows,
                 }
+                if isinstance(table, BucketedMergeTable) and table.in_mor_state():
+                    pre = _dir_bytes(table.path)
+                    t0 = time.time()
+                    table.compact()
+                    results[name]["compact_sec"] = round(time.time() - t0, 2)
+                    results[name]["compact_mb_written"] = round(
+                        (_dir_bytes(table.path) - pre) / 1e6, 1
+                    )
                 print(regime, name, results[name])
             f, b = results["flat_full_rewrite"], results["bucketed_cow"]
             print(

@@ -276,3 +276,164 @@ def test_staged_input_guard_rejects_stale_stage(spark, tmp_path):
 
     # matching resume still a clean no-op
     CheckpointedExtraction(spark, out, n_buckets=4, waves=1).run(docs)
+
+
+# -- merge-on-read for scattered batches (round-3 verdict item 1) -------------
+
+
+def _snap_inodes_and_bytes(snap_dir):
+    import os as _os
+
+    inodes, total = set(), 0
+    for root, _d, files in _os.walk(snap_dir):
+        for fn in files:
+            if fn.endswith(".parquet"):
+                st = _os.stat(_os.path.join(root, fn))
+                inodes.add(st.st_ino)
+                total += st.st_size
+    return inodes, total
+
+
+def _new_bytes(prev_dir, new_dir):
+    """Bytes in new_dir's parquet files that are NOT hard links into
+    prev_dir — the write amplification of the commit."""
+    import os as _os
+
+    prev_i, _ = _snap_inodes_and_bytes(prev_dir)
+    out = 0
+    for root, _d, files in _os.walk(new_dir):
+        for fn in files:
+            if fn.endswith(".parquet"):
+                st = _os.stat(_os.path.join(root, fn))
+                if st.st_ino not in prev_i:
+                    out += st.st_size
+    return out
+
+
+def test_mor_scattered_upsert_writes_o_batch(spark, tmp_path):
+    """A batch scattered across >= half the buckets must commit via
+    merge-on-read: O(batch) new bytes (delta + equality-delete files),
+    base buckets hard-linked forward — not the old full-bucket rewrite."""
+    import os as _os
+
+    from xhs_ocr_spark.sinks import BucketedMergeTable
+
+    path = str(tmp_path / "mor")
+    t = BucketedMergeTable(spark, path, keys=["k"], n_buckets=16)
+    # pads vary per row so parquet can't dictionary-collapse them — the
+    # assertion compares data volume, not per-file footer overhead
+    seed = spark.createDataFrame(
+        [Row(k=f"k{i}", v="old", pad=f"{i:07d}" * 30) for i in range(40000)]
+    )
+    t.upsert(seed)
+    # every 8th key: scatters over all buckets, but is 1/8 of the rows
+    batch = spark.createDataFrame(
+        [Row(k=f"k{i}", v="new", pad=f"{i:07d}" * 30) for i in range(0, 40000, 8)]
+    )
+    t.upsert(batch)
+
+    assert t.in_mor_state()
+    snaps = t.snapshot_ids()
+    prev_dir = _os.path.join(path, "snapshots", f"{snaps[-2]:06d}")
+    new_dir = _os.path.join(path, "snapshots", f"{snaps[-1]:06d}")
+    _, base_bytes = _snap_inodes_and_bytes(prev_dir)
+    fresh = _new_bytes(prev_dir, new_dir)
+    # the old scattered regime rewrote ~base_bytes; MOR writes ~batch size
+    assert fresh < base_bytes / 3, (fresh, base_bytes)
+
+    got = {r["k"]: r["v"] for r in t.read().collect()}
+    assert len(got) == 40000
+    assert got["k0"] == "new" and got["k8"] == "new"
+    assert got["k1"] == "old" and got["k39999"] == "old"
+
+    # point lookup still partition-prunes on the resolved MOR view
+    hit = t.lookup(k="k16")
+    plan = hit._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "_mt_bucket" in plan
+    assert [(r["k"], r["v"]) for r in hit.select("k", "v").collect()] == [("k16", "new")]
+
+
+def test_mor_semantics_match_flat_and_compact(spark, tmp_path):
+    """While in MOR state every merge shape (upsert / insert_ignore /
+    append) must match the flat reference table row-for-row; compact()
+    folds the deltas into a clean base with identical rows and restores
+    copy-on-write for subsequent point merges."""
+    import os as _os
+
+    from xhs_ocr_spark.sinks import BucketedMergeTable
+
+    path = str(tmp_path / "mor_sem")
+    flat = ParquetMergeTable(spark, str(tmp_path / "mor_flat"))
+    t = BucketedMergeTable(spark, path, keys=["k"], n_buckets=4)
+
+    def both(op, rows):
+        df = spark.createDataFrame([Row(k=k, v=v) for k, v in rows])
+        (getattr(flat, op)(df, ["k"]) if op != "append" else flat.append(df))
+        (getattr(t, op)(df, ["k"]) if op != "append" else t.append(df))
+
+    both("upsert", [(f"k{i}", "0") for i in range(40)])  # initial commit
+    both("upsert", [(f"k{i}", "1") for i in range(0, 40, 2)])  # scattered -> MOR
+    assert t.in_mor_state()
+    both("insert_ignore", [("k0", "X"), ("zz", "fresh")])  # stays MOR
+    both("upsert", [("k0", "2"), ("k1", "2")])  # point batch, but MOR state
+    both("append", [("k0", "dup")])  # duplicate-key row must survive reads
+
+    def rows(table):
+        return sorted(tuple(r) for r in table.read().select("k", "v").collect())
+
+    assert rows(t) == rows(flat)
+    before = rows(t)
+
+    t.compact()
+    assert not t.in_mor_state()
+    assert rows(t) == before
+    snap = _os.path.join(path, "snapshots", f"{t.snapshot_ids()[-1]:06d}")
+    assert not _os.path.isdir(_os.path.join(snap, "_deltas"))
+
+    # post-compaction point merge is copy-on-write again (hard links back)
+    t.upsert(spark.createDataFrame([Row(k="k3", v="9")]))
+    flat.upsert(spark.createDataFrame([Row(k="k3", v="9")]), ["k"])
+    assert rows(t) == rows(flat)
+    snaps = t.snapshot_ids()
+    prev_dir = _os.path.join(path, "snapshots", f"{snaps[-2]:06d}")
+    new_dir = _os.path.join(path, "snapshots", f"{snaps[-1]:06d}")
+    prev_i, _ = _snap_inodes_and_bytes(prev_dir)
+    new_i, _ = _snap_inodes_and_bytes(new_dir)
+    assert prev_i & new_i, "untouched buckets must be hard-linked forward"
+
+
+def test_mor_auto_compact(spark, tmp_path):
+    from xhs_ocr_spark.sinks import BucketedMergeTable
+
+    t = BucketedMergeTable(
+        spark, str(tmp_path / "ac"), keys=["k"], n_buckets=4,
+        auto_compact_deltas=2,
+    )
+    t.upsert(spark.createDataFrame([Row(k=f"k{i}", v="0") for i in range(40)]))
+    t.upsert(spark.createDataFrame([Row(k=f"k{i}", v="1") for i in range(0, 40, 2)]))
+    assert t.in_mor_state()  # one delta: below threshold
+    t.upsert(spark.createDataFrame([Row(k=f"k{i}", v="2") for i in range(0, 40, 3)]))
+    assert not t.in_mor_state()  # second delta hit the threshold -> compacted
+    got = {r["k"]: r["v"] for r in t.read().collect()}
+    assert got["k0"] == "2" and got["k2"] == "1" and got["k5"] == "0"
+
+
+def test_mor_crashed_commit_retry(spark, tmp_path):
+    """Same crash contract as COW: a stale MOR snapshot dir (written but
+    never pointed at) is wiped and the retried merge succeeds."""
+    import os as _os
+
+    from xhs_ocr_spark.sinks import BucketedMergeTable
+
+    path = str(tmp_path / "mor_crash")
+    t = BucketedMergeTable(spark, path, keys=["k"], n_buckets=4)
+    t.upsert(spark.createDataFrame([Row(k=f"k{i}", v="0") for i in range(40)]))
+    stale = _os.path.join(path, "snapshots", "000002")
+    _os.makedirs(_os.path.join(stale, "_deltas", "000002", "_mt_bucket=0"))
+    with open(
+        _os.path.join(stale, "_deltas", "000002", "_mt_bucket=0", "junk.parquet"), "wb"
+    ) as f:
+        f.write(b"junk")
+    t.upsert(spark.createDataFrame([Row(k=f"k{i}", v="1") for i in range(0, 40, 2)]))
+    got = {r["k"]: r["v"] for r in t.read().collect()}
+    assert got["k0"] == "1" and got["k1"] == "0" and len(got) == 40

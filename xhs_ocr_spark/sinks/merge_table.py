@@ -174,10 +174,35 @@ class BucketedMergeTable(ParquetMergeTable):
     physical layout, as in Iceberg); ``n_buckets`` is pinned by the first
     commit via a ``BUCKETS`` file so reopening is layout-stable.
 
-    Reference parity: same K1/K2/K3 first/last-write-wins semantics as
-    the parent (db/__init__.py:67-123, db/data_dms.py:293-327); the
-    reference's SQLite upserts are row-level in one file — bucketed
-    copy-on-write is the distributed re-expression.
+    **Merge-on-read for scattered batches** (round-3 verdict item 1).
+    Hash bucketing spreads any large key set near-uniformly, so a batch
+    touching >= 50% of buckets makes copy-on-write degrade to a full
+    table rewrite — and the reference's daily sync ships exactly such
+    batches (db/data_sync.py:99-178 upserts the whole filtered table).
+    The production answer is Iceberg format-v2 merge-on-read: write the
+    batch as new data files plus EQUALITY DELETE files (just the keys),
+    and resolve at read time; a background ``compact()`` folds the
+    deltas back into the base. Emulated here inside each snapshot dir:
+
+    - ``_deltas/<seq>/_mt_bucket=K/``  delta rows of commit <seq>,
+      bucket-partitioned like the base (lookup() still prunes);
+    - ``_deletes/<seq>/``              that commit's equality-delete
+      keys (upserts only — appends delete nothing, insert_ignore
+      resolves freshness at write time so its delta needs no mask);
+    - the base bucket dirs and all prior delta/delete trees are
+      HARD-LINKED forward from the previous snapshot (file ops only).
+
+    The underscore prefix hides both trees from the plain parquet read,
+    so the base scan is unchanged. Read-time resolution: a source with
+    sequence s (base = 0) is anti-joined against the union of delete
+    keys with sequence > s — exactly Iceberg's sequence-number rule for
+    equality deletes — with the (small) delete frames broadcast. A
+    scattered upsert therefore writes O(batch) bytes instead of
+    O(table); reads pay one broadcast anti-join per MOR commit until
+    ``compact()`` (explicit, or automatic via ``auto_compact_deltas``)
+    rewrites the buckets clean. While deltas exist, EVERY merge routes
+    through merge-on-read (the base stays immutable between
+    compactions, which is what makes sequence 0 sound).
     """
 
     BUCKET_COL = "_mt_bucket"
@@ -188,9 +213,11 @@ class BucketedMergeTable(ParquetMergeTable):
         path: str,
         keys: list[str],
         n_buckets: int = 64,
+        auto_compact_deltas: int | None = None,
     ) -> None:
         super().__init__(spark, path)
         self.keys = list(keys)
+        self.auto_compact_deltas = auto_compact_deltas
         self._buckets_file = os.path.join(path, "BUCKETS")
         try:
             with open(self._buckets_file) as f:
@@ -209,9 +236,65 @@ class BucketedMergeTable(ParquetMergeTable):
     def _with_bucket(self, df: DataFrame) -> DataFrame:
         return df.withColumn(self.BUCKET_COL, self._bucket_expr())
 
+    def _snap_path(self, sid: int) -> str:
+        return os.path.join(self._snap_dir, f"{sid:06d}")
+
+    def _delta_seqs(self, sid: int) -> list[int]:
+        """Sorted MOR commit sequence numbers present in a snapshot."""
+        try:
+            return sorted(
+                int(d)
+                for d in os.listdir(os.path.join(self._snap_path(sid), "_deltas"))
+                if d.isdigit()
+            )
+        except FileNotFoundError:
+            return []
+
+    def in_mor_state(self) -> bool:
+        sid = self._latest_id()
+        return sid is not None and bool(self._delta_seqs(sid))
+
     def _read_raw(self) -> DataFrame | None:
-        """Current snapshot WITH the bucket partition column."""
-        return super().read()
+        """Resolved live view WITH the bucket partition column.
+
+        Clean state: the plain bucketed base scan. MOR state: base plus
+        each delta, every source anti-joined against the broadcast union
+        of equality-delete keys from LATER commits (sequence-number rule;
+        base = sequence 0). The bucket column is a partition column of
+        base and deltas alike, so a bucket predicate on the resolved view
+        still prunes every file scan."""
+        import functools
+
+        sid = self._latest_id()
+        if sid is None:
+            return None
+        snap = self._snap_path(sid)
+        base = self.spark.read.parquet(snap)
+        seqs = self._delta_seqs(sid)
+        if not seqs:
+            return base
+        deletes = {}
+        for s in seqs:
+            d = os.path.join(snap, "_deletes", f"{s:06d}")
+            if os.path.isdir(d):
+                deletes[s] = self.spark.read.parquet(d)
+
+        def masked(src: DataFrame, src_seq: int) -> DataFrame:
+            later = [df for s, df in deletes.items() if s > src_seq]
+            if not later:
+                return src
+            keys_df = functools.reduce(
+                lambda a, b: a.unionByName(b), later
+            ).dropDuplicates(self.keys)
+            return src.join(F.broadcast(keys_df), on=self.keys, how="left_anti")
+
+        out = masked(base, 0)
+        for s in seqs:
+            delta = self.spark.read.parquet(
+                os.path.join(snap, "_deltas", f"{s:06d}")
+            )
+            out = out.unionByName(masked(delta.select(out.columns), s))
+        return out
 
     def read(self) -> DataFrame | None:
         df = self._read_raw()
@@ -272,6 +355,30 @@ class BucketedMergeTable(ParquetMergeTable):
                 for fn in os.listdir(os.path.join(prev, d)):
                     if fn.endswith(".parquet"):
                         os.link(os.path.join(prev, d, fn), os.path.join(out, d, fn))
+        self._finish_commit(sid)
+
+    def _touched(self, updates_b: DataFrame) -> set[int]:
+        # bounded by n_buckets: metadata-sized driver collect by design
+        return {
+            r[0] for r in updates_b.select(self.BUCKET_COL).distinct().collect()
+        }
+
+    # -- merge-on-read commit ---------------------------------------------------
+
+    @staticmethod
+    def _link_tree(src: str, dst: str) -> None:
+        """Hard-link every parquet file under src into the same relative
+        location under dst — file-metadata ops only, no data copied."""
+        for root, _dirs, files in os.walk(src):
+            rel = os.path.relpath(root, src)
+            for fn in files:
+                if not fn.endswith(".parquet"):
+                    continue
+                td = dst if rel == "." else os.path.join(dst, rel)
+                os.makedirs(td, exist_ok=True)
+                os.link(os.path.join(root, fn), os.path.join(td, fn))
+
+    def _finish_commit(self, sid: int) -> None:
         os.makedirs(self.path, exist_ok=True)
         if not os.path.exists(self._buckets_file):
             with open(self._buckets_file, "w") as f:
@@ -281,11 +388,64 @@ class BucketedMergeTable(ParquetMergeTable):
             f.write(str(sid))
         os.replace(tmp, self._pointer)  # atomic pointer flip
 
-    def _touched(self, updates_b: DataFrame) -> set[int]:
-        # bounded by n_buckets: metadata-sized driver collect by design
-        return {
-            r[0] for r in updates_b.select(self.BUCKET_COL).distinct().collect()
-        }
+    def _mor_commit(self, updates_b: DataFrame, mode: str) -> None:
+        """O(batch)-write commit: hard-link the previous snapshot's base
+        buckets and delta/delete trees forward, then add this batch as a
+        new ``_deltas/<sid>`` (bucket-partitioned) plus, for upserts, an
+        ``_deletes/<sid>`` equality-delete key file. ``mode`` is one of
+        'upsert' | 'insert_ignore' | 'append'. Crash-safe like the COW
+        path: everything lands in the unreferenced new snapshot dir and
+        the LATEST pointer flips last; a stale dir from a crashed commit
+        is wiped on retry."""
+        import shutil
+
+        prev = self._latest_id()
+        assert prev is not None  # initial commits go through _commit_buckets
+        if mode == "insert_ignore":
+            # freshness is resolved at write time (column-pruned key scan
+            # of the live view) so the delta never needs masking at read
+            live_keys = self._read_raw().select(self.keys).dropDuplicates(self.keys)
+            updates_b = updates_b.join(live_keys, on=self.keys, how="left_anti")
+        updates_b = updates_b.persist()
+        try:
+            if updates_b.count() == 0:
+                return  # no-op merge: no new snapshot
+            sid = prev + 1
+            out = self._snap_path(sid)
+            shutil.rmtree(out, ignore_errors=True)  # stale crashed commit
+            self._link_tree(self._snap_path(prev), out)
+            (
+                updates_b.repartition(F.col(self.BUCKET_COL))
+                .write.partitionBy(self.BUCKET_COL)
+                .parquet(os.path.join(out, "_deltas", f"{sid:06d}"))
+            )
+            if mode == "upsert":
+                (
+                    updates_b.select(self.keys)
+                    .dropDuplicates(self.keys)
+                    .coalesce(1)
+                    .write.parquet(os.path.join(out, "_deletes", f"{sid:06d}"))
+                )
+            self._finish_commit(sid)
+        finally:
+            updates_b.unpersist()
+        if (
+            self.auto_compact_deltas is not None
+            and len(self._delta_seqs(self._latest_id())) >= self.auto_compact_deltas
+        ):
+            self.compact()
+
+    def compact(self) -> None:
+        """Fold deltas and equality deletes back into the bucketed base —
+        the explicit stand-in for Iceberg's background compaction
+        (rewrite_data_files). O(table) by design, paid once per compaction
+        instead of once per scattered batch; a no-op in clean state."""
+        prev = self._latest_id()
+        if prev is None or not self._delta_seqs(prev):
+            return
+        live = self._read_raw()
+        # prev_sid=None: write every bucket fresh, carry no delta trees
+        self._commit_buckets(live, set(range(self.n_buckets)), None)
 
     def _merge(self, updates: DataFrame, updates_win: bool) -> None:
         updates = updates.dropDuplicates(self.keys)
@@ -319,14 +479,15 @@ class BucketedMergeTable(ParquetMergeTable):
             return
         updates_b = self._with_bucket(updates)
         touched = self._touched(updates_b)
-        if len(touched) >= max(1, self.n_buckets // 2):
+        if self.in_mor_state() or len(touched) >= max(1, self.n_buckets // 2):
             # Scattered batch: hash bucketing spreads ANY large key set
-            # near-uniformly, so copy-on-write degrades to ~full rewrite —
-            # skip the pruned-read + per-bucket link machinery and rewrite
-            # all buckets in one job (Iceberg has the same property; the
-            # production answer for large scattered batches is
-            # merge-on-read, out of scope for the stand-in).
-            touched = set(range(self.n_buckets))
+            # near-uniformly, so copy-on-write would degrade to a full
+            # table rewrite — route through merge-on-read instead
+            # (O(batch) write; see class docstring). Once deltas exist,
+            # every merge stays merge-on-read until compact() so the base
+            # remains immutable between compactions.
+            self._mor_commit(updates_b, "upsert" if updates_win else "insert_ignore")
+            return
         # partition-pruned read: only the touched buckets are scanned
         cur_t = cur.where(F.col(self.BUCKET_COL).isin(sorted(touched)))
         if updates_win:
@@ -373,8 +534,9 @@ class BucketedMergeTable(ParquetMergeTable):
             return
         updates_b = self._with_bucket(updates)
         touched = self._touched(updates_b)
-        if len(touched) >= max(1, self.n_buckets // 2):
-            touched = set(range(self.n_buckets))  # scattered: see _merge
+        if self.in_mor_state() or len(touched) >= max(1, self.n_buckets // 2):
+            self._mor_commit(updates_b, "append")  # scattered: see _merge
+            return
         cur_t = cur.where(F.col(self.BUCKET_COL).isin(sorted(touched)))
         self._commit_buckets(
             cur_t.unionByName(updates_b.select(cur_t.columns)), touched, prev
