@@ -6,6 +6,10 @@ Checks:
 - q01: the date predicate reaches the parquet scan (PushedFilters)
 - q15: partial aggregation (two HashAggregate levels) + only needed columns read
 - q16: dimension joins are broadcast (BroadcastHashJoin, no SortMergeJoin)
+- q41: full-outer CN-key merge is one sort-merge join, nothing quadratic
+- q42/q43/q44: pure narrow projections (no exchange/join/python)
+- q45: first-occurrence dedup aggregates partially before its shuffle
+- bucketed sink lookup: partition-prunes in clean AND merge-on-read state
 - flagship: exactly 2 exchanges land in the flat plan (media spread + none
   for text) and the text route stays in WholeStageCodegen
 
@@ -116,6 +120,81 @@ def main() -> None:
             ("no row-at-a-time python", r"BatchEvalPython", False),
         ],
     )
+    audit(
+        "q41_related_key_cn",
+        Q.queries()["q41_related_key_cn"](spark, SF),
+        [
+            # full-outer merge on the 4-column CN key: one shuffle per
+            # side (2 exchanges total), sort-merge (full-outer cannot
+            # broadcast), nothing quadratic, nothing python
+            ("no nested loop / cartesian", r"NestedLoop|CartesianProduct", False),
+            ("merge is a single sort-merge join", r"SortMergeJoin", True),
+            ("no python anywhere", r"EvalPython|MapInPandas", False),
+        ],
+    )
+    for nm in ("q42_repetition", "q43_pii_scrub", "q44_decontam"):
+        audit(
+            nm,
+            Q.queries()[nm](spark, SF),
+            [
+                # pure per-row projections: scan-speed at 10^12 docs —
+                # no shuffle, no join, no python stage (q44's eval set
+                # rides the plan as a static InSet)
+                ("no exchange (narrow plan)", r"\(\d+\) Exchange", False),
+                ("no join", r"Join", False),
+                ("no python anywhere", r"EvalPython|MapInPandas", False),
+            ],
+        )
+    audit(
+        "q45_para_dedup",
+        Q.queries()["q45_para_dedup"](spark, SF),
+        [
+            # first-occurrence via groupBy(fp)+min(struct) then equi-join:
+            # partial aggregation collapses hot fingerprints map-side
+            # (a Window row_number would funnel a hot fp into one task)
+            ("partial min before shuffle", r"partial_min", True),
+            ("no nested loop / cartesian", r"NestedLoop|CartesianProduct", False),
+            ("no window over fp", r"RunningWindowFunction|\(\d+\) Window", False),
+            ("no python anywhere", r"EvalPython|MapInPandas", False),
+        ],
+    )
+
+    # bucketed MERGE sink: point lookup must partition-prune in BOTH
+    # states — clean (base only) and merge-on-read (base + delta scans,
+    # every file source pruned by the same bucket predicate)
+    import tempfile as _tf
+
+    from pyspark.sql import Row as _Row
+
+    from xhs_ocr_spark.sinks import BucketedMergeTable
+
+    with _tf.TemporaryDirectory() as td:
+        t = BucketedMergeTable(spark, os.path.join(td, "t"), keys=["k"], n_buckets=8)
+        t.upsert(spark.createDataFrame([_Row(k=f"k{i}", v="0") for i in range(64)]))
+        clean_plan = t.lookup(k="k5")._jdf.queryExecution().executedPlan().toString()
+        t.upsert(
+            spark.createDataFrame([_Row(k=f"k{i}", v="1") for i in range(0, 64, 2)])
+        )
+        assert t.in_mor_state()
+        mor_plan = t.lookup(k="k5")._jdf.queryExecution().executedPlan().toString()
+    for label, plan_s in (
+        ("clean lookup partition-prunes", clean_plan),
+        ("MOR lookup partition-prunes every bucketed scan", mor_plan),
+    ):
+        # every scan that HAS the bucket partition column (base + delta
+        # trees) must prune on it; the equality-delete key files are
+        # unpartitioned by design (tiny, broadcast into the anti-join)
+        scans = re.findall(
+            r"FileScan parquet \[([^\]]*)\].*?PartitionFilters: \[([^\]]*)\]",
+            plan_s,
+        )
+        bucketed = [pf for cols, pf in scans if "_mt_bucket" in cols]
+        ok = bucketed and all("_mt_bucket" in pf for pf in bucketed)
+        tag = "OK " if ok else "FAIL"
+        print(f"{tag} bucketed_lookup: {label}")
+        if not ok:
+            failures.append(("bucketed_lookup", label))
+
     from xhs_ocr_spark.extraction.pipeline import extract_spans_flat
     from bench import staged_corpus
 

@@ -1,0 +1,126 @@
+"""Round-4 operators: benchmark decontamination + paragraph-level dedup."""
+
+import pyspark.sql.functions as F
+from pyspark.sql import Row
+
+from xhs_ocr_spark.operators import dedup_fuzzy as DF
+
+EVAL_SENT = "the quick brown fox jumps over the lazy dog"
+
+
+def test_decontam_flags_planted_eval_sentence(spark):
+    """A document containing a planted eval sentence is flagged; an
+    unrelated document is not; a document with trace overlap stays
+    below the threshold."""
+    eval_df = spark.createDataFrame([Row(text=EVAL_SENT)])
+    corpus = spark.createDataFrame(
+        [
+            Row(doc_id="leak", text="prefix words " + EVAL_SENT + " suffix words"),
+            Row(doc_id="clean", text="completely different content about spark plans"),
+            Row(doc_id="trace", text="the quick brown cat sleeps all day long here"),
+        ]
+    )
+    out = {
+        r["id"]: r.asDict()
+        for r in DF.decontam_flags(
+            corpus, "doc_id", "text", DF.eval_shingle_set(eval_df)
+        ).collect()
+    }
+    assert out["leak"]["contaminated"] == 1
+    assert out["leak"]["n_eval_hits"] >= 7  # the full planted sentence overlaps
+    assert out["clean"]["contaminated"] == 0 and out["clean"]["n_eval_hits"] == 0
+    assert out["trace"]["contaminated"] == 0
+    assert 0 < out["trace"]["n_eval_hits"] < out["trace"]["n_shingles"] // 2
+
+
+def test_decontam_join_variant_matches_inset_variant(spark):
+    """The broadcast-join path (big eval sets) and the InSet path (small
+    eval sets) must produce identical flags."""
+    eval_df = spark.createDataFrame(
+        [Row(text=EVAL_SENT), Row(text="another benchmark prompt goes right here now")]
+    )
+    corpus = spark.createDataFrame(
+        [
+            Row(doc_id=f"d{i}", text=t)
+            for i, t in enumerate(
+                [
+                    EVAL_SENT,
+                    "prefix " + EVAL_SENT,
+                    "another benchmark prompt goes right here now indeed",
+                    "nothing shared with any eval document at all",
+                    "",
+                ]
+            )
+        ]
+    )
+    a = sorted(
+        tuple(r)
+        for r in DF.decontam_flags(
+            corpus, "doc_id", "text", DF.eval_shingle_set(eval_df)
+        ).collect()
+    )
+    b = sorted(
+        tuple(r)
+        for r in DF.decontam_flags_join(corpus, "doc_id", "text", eval_df).collect()
+    )
+    assert a == b
+    assert any(r[3] == 1 for r in a) and any(r[3] == 0 for r in a)
+
+
+def test_eval_shingle_set_cap_fails_loudly(spark):
+    import pytest
+
+    big = spark.range(200).select(
+        F.concat_ws(
+            " ",
+            *[F.concat(F.lit(f"w{j}_"), F.col("id").cast("string")) for j in range(8)],
+        ).alias("text")
+    )
+    with pytest.raises(ValueError, match="decontam_flags_join"):
+        DF.eval_shingle_set(big, max_shingles=100)
+
+
+def test_paragraph_dedup_planted_repeats(spark):
+    """A paragraph repeated within and across documents keeps only its
+    first occurrence (min (doc_id, para_idx)); unique paragraphs all
+    keep."""
+    boiler = "subscribe to our newsletter now"  # 5 words -> needs size=5
+    corpus = spark.createDataFrame(
+        [
+            Row(doc_id="a", text=f"{boiler} unique alpha words here one {boiler}"),
+            Row(doc_id="b", text=f"{boiler} other beta content words two"),
+            Row(doc_id="c", text="totally fresh paragraph without any repeats"),
+        ]
+    )
+    out = DF.paragraph_dedup(corpus, "doc_id", "text", size=5).collect()
+    rows = {(r["doc_id"], r["para_idx"]): (r["fp"], r["keep"]) for r in out}
+    boiler_rows = [
+        k for k, (fp, _) in rows.items() if fp == rows[("a", 0)][0]
+    ]
+    assert sorted(boiler_rows) == [("a", 0), ("a", 2), ("b", 0)]
+    assert rows[("a", 0)][1] == 1  # first occurrence keeps
+    assert rows[("a", 2)][1] == 0 and rows[("b", 0)][1] == 0  # repeats dropped
+    assert all(
+        keep == 1 for k, (fp, keep) in rows.items() if k not in boiler_rows
+    )
+
+
+def test_paragraph_windows_cover_text_exactly(spark):
+    """Window partitioning: every word lands in exactly one paragraph;
+    short texts produce one short paragraph; empty text produces none."""
+    corpus = spark.createDataFrame(
+        [
+            Row(doc_id="nine", text="w1 w2 w3 w4 w5 w6 w7 w8 w9"),
+            Row(doc_id="two", text="only two"),
+            Row(doc_id="empty", text="   "),
+        ]
+    )
+    paras = corpus.select(
+        "doc_id", DF.paragraphs(F.col("text"), size=4).alias("ps")
+    ).collect()
+    got = {r["doc_id"]: r["ps"] for r in paras}
+    assert got["nine"] == ["w1 w2 w3 w4", "w5 w6 w7 w8", "w9"]
+    assert got["two"] == ["only two"]
+    assert got["empty"] == [""]  # filtered out downstream by paragraph_dedup
+    deduped = DF.paragraph_dedup(corpus, "doc_id", "text", size=4)
+    assert deduped.where(F.col("doc_id") == "empty").count() == 0

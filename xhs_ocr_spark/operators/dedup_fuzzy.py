@@ -273,6 +273,178 @@ def simhash64_hex(text_col):
     return sh64(text_col)
 
 
+def eval_shingle_set(
+    eval_df: DataFrame,
+    text_col: str = "text",
+    n: int = DEFAULT_SHINGLE,
+    max_shingles: int = 500_000,
+) -> list[str]:
+    """Distinct word n-gram shingles of a (small) eval/benchmark table,
+    collected to the driver. Eval sets are small by definition (a
+    benchmark is thousands of documents, not billions), so this is a
+    bounded metadata collect; the cap fails loudly if someone points it
+    at a corpus. For an eval set that genuinely exceeds the cap, use
+    decontam_flags_join (broadcast join, nothing collected)."""
+    rows = (
+        eval_df.select(
+            F.explode(F.array_distinct(shingles(F.col(text_col), n))).alias("sh")
+        )
+        .distinct()
+        .limit(max_shingles + 1)
+        .collect()
+    )
+    if len(rows) > max_shingles:
+        raise ValueError(
+            f"eval set has > {max_shingles} distinct shingles — "
+            "use decontam_flags_join for eval sets this large"
+        )
+    return sorted(r["sh"] for r in rows)
+
+
+def decontam_flags(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    eval_shingles: list[str],
+    n: int = DEFAULT_SHINGLE,
+    threshold_x1000: int = 500,
+) -> DataFrame:
+    """Benchmark decontamination — flag documents whose n-gram overlap
+    with an eval set exceeds a threshold, the standard guard against
+    test-set leakage into training corpora (round-3 verdict item 3).
+
+    Scale shape: the eval shingle set rides in the plan as a static
+    InSet (hash-set membership, O(1) per probe — NOT an F.array literal,
+    which interpreted HOF eval re-allocates per lambda call), so the
+    whole operator is a narrow per-row projection: no join, no shuffle,
+    no python — the corpus side runs at scan speed on 10^12 docs.
+
+    Exact integer arithmetic ((hits * 1000) DIV total, like
+    q42_repetition) so the DuckDB oracle matches bit-for-bit.
+    Returns (id, n_shingles, n_eval_hits, contaminated 0/1)."""
+    sh = F.array_distinct(shingles(F.col(text_col), n))
+    if eval_shingles:
+        hits = F.size(F.filter(sh, lambda s: s.isin(list(eval_shingles))))
+    else:
+        hits = F.lit(0)
+    m = df.select(
+        F.col(id_col).alias("id"),
+        F.size(sh).cast("long").alias("n_shingles"),
+        hits.cast("long").alias("n_eval_hits"),
+    )
+    return m.select(
+        "id",
+        "n_shingles",
+        "n_eval_hits",
+        F.expr(
+            "CAST(CASE WHEN n_shingles > 0 AND (n_eval_hits * 1000) DIV n_shingles "
+            f">= {int(threshold_x1000)} THEN 1 ELSE 0 END AS BIGINT)"
+        ).alias("contaminated"),
+    )
+
+
+def decontam_flags_join(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    eval_df: DataFrame,
+    eval_text_col: str = "text",
+    n: int = DEFAULT_SHINGLE,
+    threshold_x1000: int = 500,
+) -> DataFrame:
+    """decontam_flags for eval sets too large to ride the plan as an
+    InSet: broadcast LEFT SEMI join of the corpus shingle index against
+    the eval shingle set (still no shuffle of eval data; the corpus pays
+    one groupBy(id) shuffle to count hits). Same output contract."""
+    ex = _shingle_index(df, id_col, text_col, n, None)
+    ev = (
+        eval_df.select(
+            F.explode(F.array_distinct(shingles(F.col(eval_text_col), n))).alias("sh")
+        ).distinct()
+    )
+    hits = (
+        ex.join(F.broadcast(ev), "sh", "left_semi")
+        .groupBy("id")
+        .agg(F.count("*").alias("n_eval_hits"))
+    )
+    sizes = df.select(
+        F.col(id_col).alias("id"),
+        F.size(F.array_distinct(shingles(F.col(text_col), n)))
+        .cast("long")
+        .alias("n_shingles"),
+    )
+    m = sizes.join(hits, "id", "left").select(
+        "id",
+        "n_shingles",
+        F.coalesce(F.col("n_eval_hits"), F.lit(0)).cast("long").alias("n_eval_hits"),
+    )
+    return m.select(
+        "id",
+        "n_shingles",
+        "n_eval_hits",
+        F.expr(
+            "CAST(CASE WHEN n_shingles > 0 AND (n_eval_hits * 1000) DIV n_shingles "
+            f">= {int(threshold_x1000)} THEN 1 ELSE 0 END AS BIGINT)"
+        ).alias("contaminated"),
+    )
+
+
+def paragraphs(text_col, size: int = 4):
+    """Fixed word-window 'paragraphs' as an array<string>. Real corpora
+    split paragraphs on blank lines; the synthetic documents table is a
+    single line of words, so the deterministic unit is a fixed window of
+    ``size`` words (the operator is the same either way — swap this for
+    split(text, '\\n\\n+') on corpora that carry structure)."""
+    ws = words(text_col)
+    idx = F.sequence(
+        F.lit(0),
+        F.greatest(F.ceil(F.size(ws) / F.lit(size)).cast("int") - 1, F.lit(0)),
+    )
+    return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(ws, i * size + 1, size)))
+
+
+def paragraph_dedup(
+    df: DataFrame, id_col: str, text_col: str, size: int = 4
+) -> DataFrame:
+    """Paragraph-level exact dedup (Falcon/RefinedWeb-style boilerplate
+    killer): explode documents to normalized paragraphs, fingerprint
+    each, keep the FIRST occurrence (min (doc_id, para_idx)) of every
+    fingerprint and flag the rest.
+
+    Skew-safe at scale: first-occurrence is found with groupBy(fp) +
+    min(struct(id, idx)) — partial aggregation collapses a boilerplate
+    paragraph repeated 10^9 times map-side before the shuffle — then an
+    equi-join back on fp, which AQE's skew-join splitting handles (a
+    Window row_number over fp would funnel the whole hot fingerprint
+    through one task with no mitigation). The paragraph derivation is a
+    narrow scan-stage projection computed on both join branches — cheap
+    by construction.
+
+    Returns (doc_id, para_idx, fp, keep 0/1)."""
+    p = df.select(
+        F.col(id_col).cast("string").alias("doc_id"),
+        F.posexplode(paragraphs(F.col(text_col), size)).alias("para_idx", "para"),
+    ).where(F.col("para") != "").select(
+        "doc_id",
+        F.col("para_idx").cast("long").alias("para_idx"),
+        F.md5(F.lower(F.col("para"))).alias("fp"),
+    )
+    first = p.groupBy("fp").agg(
+        F.min(F.struct("doc_id", "para_idx")).alias("first_occ")
+    )
+    return p.join(first, "fp").select(
+        "doc_id",
+        "para_idx",
+        "fp",
+        (
+            (F.col("doc_id") == F.col("first_occ.doc_id"))
+            & (F.col("para_idx") == F.col("first_occ.para_idx"))
+        )
+        .cast("long")
+        .alias("keep"),
+    )
+
+
 def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Exact dedup via fingerprint groupBy: groups with >1 member,
     returning (fingerprint, n_dups, keep_id = min id)."""

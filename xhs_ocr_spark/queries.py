@@ -688,6 +688,78 @@ FROM u
 """
 
 
+def q_decontam(spark, sf):
+    """Benchmark decontamination (round-3 verdict item 3): every 11th
+    document stands in for the eval/benchmark set; documents whose
+    distinct word-3-gram overlap with the eval shingle set is >= 50% are
+    flagged contaminated. The eval shingle set is collected once
+    (bounded — eval sets are small by definition) and probes as a static
+    InSet, so the corpus side is a narrow scan-speed projection: no
+    join, no shuffle at 10^12 docs."""
+    d = _t(spark, sf, "documents")
+    ev = d.where(F.col("doc_id").cast("bigint") % 11 == 0)
+    return DF.decontam_flags(
+        d.select(F.col("doc_id").cast("string").alias("doc_id"), "text"),
+        "doc_id",
+        "text",
+        DF.eval_shingle_set(ev),
+        threshold_x1000=500,
+    ).withColumnRenamed("id", "doc_id")
+
+
+SQL_DECONTAM = r"""
+WITH w AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id, CAST(doc_id AS BIGINT) AS did,
+         list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS ws
+  FROM documents
+), sh AS (
+  SELECT doc_id, did,
+         list_distinct(list_transform(generate_series(1, greatest(len(ws) - 2, 1)),
+                                      i -> array_to_string(ws[i:(i+2)], ' '))) AS shs
+  FROM w
+), ev AS (
+  SELECT DISTINCT unnest(shs) AS s FROM sh WHERE did % 11 = 0
+), ex AS (
+  SELECT doc_id, unnest(shs) AS s FROM sh
+), h AS (
+  SELECT ex.doc_id, count(*) AS hits FROM ex JOIN ev USING (s) GROUP BY ex.doc_id
+)
+SELECT sh.doc_id,
+       CAST(len(shs) AS BIGINT) AS n_shingles,
+       CAST(coalesce(hits, 0) AS BIGINT) AS n_eval_hits,
+       CAST(CASE WHEN len(shs) > 0 AND (coalesce(hits, 0) * 1000) // len(shs) >= 500
+                 THEN 1 ELSE 0 END AS BIGINT) AS contaminated
+FROM sh LEFT JOIN h USING (doc_id)
+"""
+
+
+def q_para_dedup(spark, sf):
+    """Paragraph-level exact dedup (round-3 verdict item 6): documents
+    exploded to 4-word-window 'paragraphs' (the corpus carries no
+    newline structure), fingerprinted, first occurrence keeps."""
+    d = _t(spark, sf, "documents")
+    return DF.paragraph_dedup(d, "doc_id", "text", size=4)
+
+
+SQL_PARA_DEDUP = r"""
+WITH w AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS ws
+  FROM documents
+), p AS (
+  SELECT doc_id, i - 1 AS para_idx, array_to_string(ws[(i-1)*4+1:i*4], ' ') AS para
+  FROM w, unnest(generate_series(1, greatest(CAST(ceil(len(ws) / 4.0) AS BIGINT), 1))) AS t(i)
+), f AS (
+  SELECT doc_id, CAST(para_idx AS BIGINT) AS para_idx, md5(lower(para)) AS fp
+  FROM p WHERE para <> ''
+)
+SELECT doc_id, para_idx, fp,
+       CAST(CASE WHEN row_number() OVER (PARTITION BY fp ORDER BY doc_id, para_idx) = 1
+                 THEN 1 ELSE 0 END AS BIGINT) AS keep
+FROM f
+"""
+
+
 def q_lang_id(spark, sf):
     d = _t(spark, sf, "documents")
     return d.select("doc_id", TX.lang_id(F.col("text")).alias("lang_guess"))
@@ -1598,6 +1670,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q41_related_key_cn": q_related_key_cn,
         "q42_repetition": q_repetition,
         "q43_pii_scrub": q_pii_scrub,
+        "q44_decontam": q_decontam,
+        "q45_para_dedup": q_para_dedup,
     }
 
 
@@ -1644,6 +1718,8 @@ def oracle_sql() -> dict[str, str]:
         "q41_related_key_cn": SQL_RELATED_KEY_CN,
         "q42_repetition": SQL_REPETITION,
         "q43_pii_scrub": SQL_PII_SCRUB,
+        "q44_decontam": SQL_DECONTAM,
+        "q45_para_dedup": SQL_PARA_DEDUP,
         # q30: expected output precomputed by the shared pure-Python
         # semantics into a parquet fixture (scripts/build_fixtures.py) —
         # committed only for the oracle scales (sf0.001/sf0.01); at any
