@@ -78,14 +78,21 @@ def main() -> None:
             ("no sort-merge join", r"SortMergeJoin", False),
         ],
     )
+    # q25/q29 candidate pairs come from sharded_bucket_pairs (round-4):
+    # ids aggregate at (key, shard) granularity, then the AGGREGATED
+    # shard rows self-join — joins over row-level data never appear, so
+    # every join input sits above a partial_collect_set aggregation and
+    # nothing quadratic reaches a single task. The regex invariants pin
+    # what regex can see: the aggregation is present, the joins are the
+    # equi kind (no nested-loop/cartesian), and no python runs; the
+    # O(bucket/n_shards) row bound itself is pinned by
+    # tests/test_round4_ops.py's degenerate-bucket tests.
     audit(
         "q25_lsh_pairs",
         Q.q_lsh_pairs(spark, SF),
         [
-            # signature md5 work stays behind exchanges; candidate pairs
-            # never come from a self-join (no join at all in the plan)
-            ("no join (groupBy-band + guarded expansion)", r"Join", False),
             ("partial collect_set before shuffle", r"partial_collect_set", True),
+            ("no nested loop / cartesian", r"NestedLoop|CartesianProduct", False),
             ("no python anywhere", r"EvalPython|MapInPandas", False),
         ],
     )
@@ -93,10 +100,6 @@ def main() -> None:
         "q29_embedding_neardup",
         Q.q_embedding_neardup(spark, SF),
         [
-            # round-3 guard: candidates come from groupBy(bucket) +
-            # expand_bucket_pairs, never a self-join on the bucket key
-            # (one hot bucket would pin |b|^2 cosines on one task)
-            ("no join on the bucket key", r"keys \[\d+\]: \[bucket", False),
             ("guarded expansion (collect_set agg)", r"partial_collect_set", True),
             ("no nested loop / cartesian", r"NestedLoop|CartesianProduct", False),
             ("no python anywhere", r"EvalPython|MapInPandas", False),

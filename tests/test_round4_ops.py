@@ -124,3 +124,91 @@ def test_paragraph_windows_cover_text_exactly(spark):
     assert got["empty"] == [""]  # filtered out downstream by paragraph_dedup
     deduped = DF.paragraph_dedup(corpus, "doc_id", "text", size=4)
     assert deduped.where(F.col("doc_id") == "empty").count() == 0
+
+
+# -- sharded degenerate-bucket pair expansion (round-3 verdict item 4) --------
+
+
+def _pairs(df):
+    return sorted((r["id_a"], r["id_b"]) for r in df.collect())
+
+
+def _bucket_rows(spark, sizes):
+    rows = []
+    for b, n in enumerate(sizes):
+        rows.extend(Row(band=f"b{b}", id=f"{b:02d}_{i:06d}") for i in range(n))
+    return spark.createDataFrame(rows)
+
+
+def test_sharded_pairs_shard_invariance(spark):
+    """The pair set is invariant to n_shards — a pure memory/placement
+    knob (round-3 verdict item 4)."""
+    rows = _bucket_rows(spark, [1, 5, 40, 200])
+    baseline = _pairs(DF.sharded_bucket_pairs(rows, ["band"]))
+    # expected: all intra-bucket pairs of the 5/40/200 buckets
+    import itertools
+
+    exp = []
+    for b, n in ((1, 5), (2, 40), (3, 200)):
+        ids = [f"{b:02d}_{i:06d}" for i in range(n)]
+        exp.extend(itertools.combinations(sorted(ids), 2))
+    assert baseline == sorted(exp)
+    for kw in (
+        {"n_shards": 1},
+        {"n_shards": 3},
+        {"n_shards": 64},
+    ):
+        assert _pairs(DF.sharded_bucket_pairs(rows, ["band"], **kw)) == baseline, kw
+
+
+def test_sharded_pairs_max_total_drop(spark):
+    """max_total drops whole buckets (the n-gram max_df policy) the same
+    way regardless of sharding."""
+    rows = _bucket_rows(spark, [5, 120])
+    got = _pairs(
+        DF.sharded_bucket_pairs(rows, ["band"], max_total=100, n_shards=4)
+    )
+    assert got and all(a.startswith("00_") for a, _ in got)  # 120-bucket dropped
+    assert len(got) == 5 * 4 // 2
+
+
+def test_degenerate_bucket_bounded_aggregate_rows(spark):
+    """A single bucket far above shard_cap: (1) no aggregate row holds
+    more than ~|bucket|/n_shards ids, (2) the expanded pair set is exact."""
+    n, shards = 3000, 8
+    rows = spark.range(n).select(
+        F.lit("hot").alias("band"),
+        F.format_string("id%06d", F.col("id")).alias("id"),
+    )
+    # the internal (key, shard) aggregate the function relies on — assert
+    # the row bound directly (hash spread ~uniform: 2x slack)
+    g = (
+        rows.withColumn(
+            "_shard", F.pmod(F.xxhash64(F.col("id").cast("string")), F.lit(shards))
+        )
+        .groupBy("band", "_shard")
+        .agg(F.count("*").alias("sz"))
+    )
+    max_row = g.agg(F.max("sz")).collect()[0][0]
+    assert max_row <= 2 * n // shards
+
+    pairs = DF.sharded_bucket_pairs(rows, ["band"], n_shards=shards)
+    assert pairs.count() == n * (n - 1) // 2
+    # and spot-check exactness on the extremes
+    sample = pairs.where(F.col("id_a") == "id000000")
+    assert sample.count() == n - 1
+
+
+def test_degenerate_million_id_bucket_streams(spark):
+    """10^6 ids in ONE bucket: the quadratic pair set (5*10^11) is
+    inherently unmaterializable — the guard's job is that the plan
+    STREAMS with bounded per-row memory instead of building a multi-GB
+    collect_set row. A limited read through the full sharded path must
+    complete quickly."""
+    n = 1_000_000
+    rows = spark.range(n).select(
+        F.lit("hot").alias("band"),
+        F.format_string("id%09d", F.col("id")).alias("id"),
+    )
+    out = DF.sharded_bucket_pairs(rows, ["band"], n_shards=64)
+    assert out.limit(100_000).count() == 100_000
