@@ -437,3 +437,72 @@ def test_mor_crashed_commit_retry(spark, tmp_path):
     t.upsert(spark.createDataFrame([Row(k=f"k{i}", v="1") for i in range(0, 40, 2)]))
     got = {r["k"]: r["v"] for r in t.read().collect()}
     assert got["k0"] == "1" and got["k1"] == "0" and len(got) == 40
+
+
+# -- checkpointed extraction through the MERGE sink (round-3 verdict item 5) --
+
+
+def test_checkpoint_into_merge_sink_resume_no_dups(spark, tmp_path):
+    """One resumable end-to-end job: extraction waves land in a
+    BucketedMergeTable via insert_ignore on (doc_id, order) — the
+    reference's idempotent INSERT OR IGNORE re-run (db/__init__.py:
+    110-116) fused with checkpoint resume. After a crash: re-running
+    produces ZERO duplicate rows through the sink; re-merging
+    already-committed data is a no-op; wave commits are copy-on-write
+    touching only the wave's buckets (inode check); doc lookups prune."""
+    import os as _os
+
+    from xhs_ocr_spark.extraction.checkpointed import make_span_sink
+
+    docs = datagen.generate_corpus(spark, N_DOCS, partitions=4)
+    sink = make_span_sink(spark, str(tmp_path / "table"), n_buckets=8)
+    ck = CheckpointedExtraction(
+        spark, str(tmp_path / "run"), n_buckets=8, waves=4, span_sink=sink
+    )
+
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        ck.run(docs, fail_after_waves=2)
+    partial = sink.read().count()
+    assert 0 < partial < len(_expected_flat())
+
+    # "wave committed, lineage lost": re-merging the same rows adds none
+    sink.insert_ignore(sink.read())
+    assert sink.read().count() == partial
+
+    out = ck.run(docs)  # resume
+    got = {
+        (r["doc_id"], r["kind"], r["text"], r["media_ref"], r["order"])
+        for r in out.collect()
+    }
+    assert got == _expected_flat()
+    assert out.count() == len(_expected_flat())  # set AND multiset equal: no dups
+
+    # wave commits are copy-on-write: the last commit hard-links every
+    # bucket it did not touch from the previous snapshot
+    snaps = sink.snapshot_ids()
+    # 2 commits before the crash + 4 on resume (the 4 remaining buckets
+    # re-plan into 4 single-bucket waves); the no-op re-merge added none
+    assert len(snaps) == 6
+    prev_dir = _os.path.join(sink.path, "snapshots", f"{snaps[-2]:06d}")
+    new_dir = _os.path.join(sink.path, "snapshots", f"{snaps[-1]:06d}")
+    prev_i, _ = _snap_inodes_and_bytes(prev_dir)
+    new_rewritten_buckets = set()
+    for root, _d, files in _os.walk(new_dir):
+        for fn in files:
+            if fn.endswith(".parquet"):
+                st = _os.stat(_os.path.join(root, fn))
+                if st.st_ino not in prev_i:
+                    new_rewritten_buckets.add(root.split("_mt_bucket=")[-1])
+    assert 1 <= len(new_rewritten_buckets) <= 2  # exactly the wave's buckets
+    assert prev_i & _snap_inodes_and_bytes(new_dir)[0]  # links carried forward
+
+    # doc-level point lookup partition-prunes on the bucket_keys subset
+    some_doc = next(iter(got))[0]
+    hit = sink.lookup(doc_id=some_doc)
+    plan = hit._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "_mt_bucket" in plan
+    exp_rows = {t for t in _expected_flat() if t[0] == some_doc}
+    assert {
+        (r["doc_id"], r["kind"], r["text"], r["media_ref"], r["order"])
+        for r in hit.collect()
+    } == exp_rows

@@ -45,7 +45,18 @@ class CheckpointedExtraction:
         out_dir: str,
         n_buckets: int = 64,
         waves: int = 4,
+        span_sink=None,
     ) -> None:
+        """``span_sink``: an optional BucketedMergeTable receiving the
+        extracted spans via insert_ignore instead of the plain parquet
+        spans_out directory — the reference's idempotent INSERT OR
+        IGNORE re-run semantics (db/__init__.py:110-116) fused with the
+        checkpoint loop: a wave re-run after a crash (data committed,
+        lineage lost) re-merges the same spans and changes nothing. The
+        sink must merge on (doc_id, order) and bucket on doc_id with
+        this run's n_buckets, so a wave's commit touches exactly the
+        wave's own buckets (copy-on-write: untouched buckets are
+        hard-linked forward). Use make_span_sink() to build one."""
         self.spark = spark
         self.out_dir = out_dir
         self.data_dir = os.path.join(out_dir, "spans_out")
@@ -54,6 +65,15 @@ class CheckpointedExtraction:
         self.stage_dir = os.path.join(out_dir, "staged_input")
         self.n_buckets = n_buckets
         self.waves = waves
+        self.span_sink = span_sink
+        if span_sink is not None:
+            if span_sink.n_buckets != n_buckets or span_sink.bucket_keys != ["doc_id"]:
+                raise ValueError(
+                    "span_sink must bucket on ['doc_id'] with n_buckets="
+                    f"{n_buckets} so waves touch only their own buckets; got "
+                    f"bucket_keys={span_sink.bucket_keys}, "
+                    f"n_buckets={span_sink.n_buckets}"
+                )
         self.wave_plans: list[str] = []  # formatted plan per wave (audit)
 
     # -- lineage ---------------------------------------------------------------
@@ -205,10 +225,19 @@ class CheckpointedExtraction:
                 "reason",  # 'corrupt_payload' vs 'all_masks_failed'
                 bucket_expr,
             )
-            # dynamic overwrite: only this wave's bucket partitions are
-            # replaced, so re-running a bucket after a mid-wave crash (data
-            # written, lineage not) is idempotent instead of duplicating
-            for df, path in ((out, self.data_dir), (dead_out, self.dead_dir)):
+            # idempotent wave writes, two interchangeable mechanisms:
+            # - parquet path: dynamic partition overwrite replaces only
+            #   this wave's bucket partitions;
+            # - sink path: insert_ignore on (doc_id, order) — the
+            #   reference's INSERT OR IGNORE re-run (db/__init__.py:
+            #   110-116) — so a re-merged wave adds zero rows, and the
+            #   copy-on-write commit touches only the wave's buckets
+            if self.span_sink is not None:
+                self.span_sink.insert_ignore(out.drop("bucket"))
+                targets = ((dead_out, self.dead_dir),)
+            else:
+                targets = ((out, self.data_dir), (dead_out, self.dead_dir))
+            for df, path in targets:
                 (
                     df.write.mode("overwrite")
                     .option("partitionOverwriteMode", "dynamic")
@@ -249,4 +278,23 @@ class CheckpointedExtraction:
                     for b in wave_buckets
                 ]
             )
+        if self.span_sink is not None:
+            return self.span_sink.read()
         return self.spark.read.parquet(self.data_dir)
+
+
+def make_span_sink(spark: SparkSession, path: str, n_buckets: int = 64):
+    """Span-table sink for CheckpointedExtraction: merge identity
+    (doc_id, order) — one row per surviving span — physically bucketed
+    by doc_id alone so a document's spans colocate and a checkpoint
+    wave's merge touches exactly the wave's bucket set (the wave and
+    sink bucket functions are both pmod(xxhash64(doc_id), n))."""
+    from ..sinks.merge_table import BucketedMergeTable
+
+    return BucketedMergeTable(
+        spark,
+        path,
+        keys=["doc_id", "order"],
+        n_buckets=n_buckets,
+        bucket_keys=["doc_id"],
+    )

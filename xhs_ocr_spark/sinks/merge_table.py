@@ -214,21 +214,49 @@ class BucketedMergeTable(ParquetMergeTable):
         keys: list[str],
         n_buckets: int = 64,
         auto_compact_deltas: int | None = None,
+        bucket_keys: list[str] | None = None,
     ) -> None:
+        """``bucket_keys`` decouples the physical partitioning from the
+        merge identity (Iceberg: partition spec vs identifier fields) —
+        e.g. a span table merged on (doc_id, order) but bucketed on
+        doc_id alone, so one document's spans share a bucket and a
+        checkpoint wave touches exactly its own buckets. Must be a
+        subset of ``keys`` (bucket placement must be a function of the
+        merge key, or copy-on-write couldn't locate a key's bucket).
+        Pinned by the first commit via a BUCKET_KEYS file, like
+        n_buckets."""
         super().__init__(spark, path)
         self.keys = list(keys)
         self.auto_compact_deltas = auto_compact_deltas
         self._buckets_file = os.path.join(path, "BUCKETS")
+        self._bucket_keys_file = os.path.join(path, "BUCKET_KEYS")
         try:
             with open(self._buckets_file) as f:
                 self.n_buckets = int(f.read().strip())
         except (FileNotFoundError, ValueError):
             self.n_buckets = n_buckets
+        stored_bk: list[str] | None = None
+        try:
+            with open(self._bucket_keys_file) as f:
+                stored_bk = [k for k in f.read().strip().split(",") if k]
+        except FileNotFoundError:
+            pass
+        self.bucket_keys = stored_bk or (
+            list(bucket_keys) if bucket_keys else list(keys)
+        )
+        if bucket_keys is not None and stored_bk and list(bucket_keys) != stored_bk:
+            raise ValueError(
+                f"table at {path} is bucketed by {stored_bk}, got {list(bucket_keys)}"
+            )
+        if not set(self.bucket_keys) <= set(self.keys):
+            raise ValueError(
+                f"bucket_keys {self.bucket_keys} must be a subset of keys {self.keys}"
+            )
 
     # -- layout helpers -------------------------------------------------------
 
     def _bucket_expr(self, cols: list | None = None):
-        cols = cols if cols is not None else [F.col(k) for k in self.keys]
+        cols = cols if cols is not None else [F.col(k) for k in self.bucket_keys]
         return F.pmod(
             F.xxhash64(*[c.cast("string") for c in cols]), F.lit(self.n_buckets)
         ).cast("int")
@@ -315,7 +343,7 @@ class BucketedMergeTable(ParquetMergeTable):
         # bucket and silently return zero rows (ADVICE r3)
         dtypes = {f.name: f.dataType for f in df.schema.fields}
         target = self._bucket_expr(
-            [F.lit(key_values[k]).cast(dtypes[k]) for k in self.keys]
+            [F.lit(key_values[k]).cast(dtypes[k]) for k in self.bucket_keys]
         )
         df = df.where(F.col(self.BUCKET_COL) == target)
         for k, v in key_values.items():
@@ -383,6 +411,9 @@ class BucketedMergeTable(ParquetMergeTable):
         if not os.path.exists(self._buckets_file):
             with open(self._buckets_file, "w") as f:
                 f.write(str(self.n_buckets))
+        if not os.path.exists(self._bucket_keys_file):
+            with open(self._bucket_keys_file, "w") as f:
+                f.write(",".join(self.bucket_keys))
         tmp = self._pointer + ".tmp"
         with open(tmp, "w") as f:
             f.write(str(sid))
