@@ -60,6 +60,8 @@ BENCH_QUERIES = [
     "q36_simhash64",
     "q42_repetition",
     "q43_pii_scrub",
+    "q44_decontam",
+    "q45_para_dedup",
 ]
 
 

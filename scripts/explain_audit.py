@@ -135,19 +135,31 @@ def main() -> None:
             ("no python anywhere", r"EvalPython|MapInPandas", False),
         ],
     )
-    for nm in ("q42_repetition", "q43_pii_scrub", "q44_decontam"):
+    for nm in ("q42_repetition", "q43_pii_scrub"):
         audit(
             nm,
             Q.queries()[nm](spark, SF),
             [
-                # pure per-row projections: scan-speed at 10^12 docs —
-                # no shuffle, no join, no python stage (q44's eval set
-                # rides the plan as a static InSet)
+                # pure per-row projections: scan-speed at 10^12 docs
                 ("no exchange (narrow plan)", r"\(\d+\) Exchange", False),
                 ("no join", r"Join", False),
                 ("no python anywhere", r"EvalPython|MapInPandas", False),
             ],
         )
+    audit(
+        "q44_decontam",
+        Q.queries()["q44_decontam"](spark, SF),
+        [
+            # broadcast-semi decontamination: eval shingles broadcast
+            # (never shuffled), the corpus pays one groupBy(id); the
+            # InSet form is only for small eval sets (measured 50x
+            # slower past the crossover — see decontam_flags docstring)
+            ("eval side broadcast", r"BroadcastHashJoin", True),
+            ("no sort-merge join", r"SortMergeJoin", False),
+            ("no nested loop / cartesian", r"NestedLoop|CartesianProduct", False),
+            ("no python anywhere", r"EvalPython|MapInPandas", False),
+        ],
+    )
     audit(
         "q45_para_dedup",
         Q.queries()["q45_para_dedup"](spark, SF),

@@ -39,6 +39,11 @@ DEFAULT_BUCKET_CAP = 64
 # collect_set row).
 DEFAULT_SHARDS = 16
 
+# decontam_flags InSet crossover: above this many eval shingles the
+# per-lambda-invocation probe-set rebuild dominates (measured) and the
+# broadcast-join form should be used instead.
+DECONTAM_INSET_MAX = 2048
+
 
 def shingles(text_col, n: int = DEFAULT_SHINGLE):
     """Word n-gram shingles as an array<string> (space-joined)."""
@@ -421,14 +426,25 @@ def decontam_flags(
     test-set leakage into training corpora (round-3 verdict item 3).
 
     Scale shape: the eval shingle set rides in the plan as a static
-    InSet (hash-set membership, O(1) per probe — NOT an F.array literal,
-    which interpreted HOF eval re-allocates per lambda call), so the
-    whole operator is a narrow per-row projection: no join, no shuffle,
-    no python — the corpus side runs at scan speed on 10^12 docs.
+    InSet, so the whole operator is a narrow per-row projection: no
+    join, no shuffle, no python. CROSSOVER CAVEAT (measured): inside an
+    interpreted HOF lambda the InSet's probe set is rebuilt PER
+    INVOCATION, so cost grows with |eval shingles| per row — at ~16k
+    shingles this form took 10.8s where decontam_flags_join took 0.2s
+    (sf0.1). Use this form for small eval sets (a few hundred
+    shingles); decontam_flags_join for anything bigger. A warning fires
+    past DECONTAM_INSET_MAX.
 
     Exact integer arithmetic ((hits * 1000) DIV total, like
     q42_repetition) so the DuckDB oracle matches bit-for-bit.
     Returns (id, n_shingles, n_eval_hits, contaminated 0/1)."""
+    if len(eval_shingles) > DECONTAM_INSET_MAX:
+        log.warning(
+            "decontam_flags: %d eval shingles is past the InSet crossover "
+            "(~%d) — decontam_flags_join will be much faster.",
+            len(eval_shingles),
+            DECONTAM_INSET_MAX,
+        )
     sh = F.array_distinct(shingles(F.col(text_col), n))
     if eval_shingles:
         hits = F.size(F.filter(sh, lambda s: s.isin(list(eval_shingles))))

@@ -692,18 +692,17 @@ def q_decontam(spark, sf):
     """Benchmark decontamination (round-3 verdict item 3): every 11th
     document stands in for the eval/benchmark set; documents whose
     distinct word-3-gram overlap with the eval shingle set is >= 50% are
-    flagged contaminated. The eval shingle set is collected once
-    (bounded — eval sets are small by definition) and probes as a static
-    InSet, so the corpus side is a narrow scan-speed projection: no
-    join, no shuffle at 10^12 docs."""
-    d = _t(spark, sf, "documents")
+    flagged contaminated. Uses the broadcast-semi-join form: the eval
+    shingle set here is ~16k shingles at sf0.1, far past the InSet
+    crossover (interpreted HOF eval rebuilds the probe set PER LAMBDA
+    INVOCATION — measured 10.8s vs 0.2s for the join at sf0.1; the
+    InSet form wins only for small eval sets, see decontam_flags)."""
+    d = _t(spark, sf, "documents").select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text"
+    )
     ev = d.where(F.col("doc_id").cast("bigint") % 11 == 0)
-    return DF.decontam_flags(
-        d.select(F.col("doc_id").cast("string").alias("doc_id"), "text"),
-        "doc_id",
-        "text",
-        DF.eval_shingle_set(ev),
-        threshold_x1000=500,
+    return DF.decontam_flags_join(
+        d, "doc_id", "text", ev, threshold_x1000=500
     ).withColumnRenamed("id", "doc_id")
 
 
