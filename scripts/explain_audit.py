@@ -135,7 +135,7 @@ def main() -> None:
             ("no python anywhere", r"EvalPython|MapInPandas", False),
         ],
     )
-    for nm in ("q42_repetition", "q43_pii_scrub"):
+    for nm in ("q42_repetition", "q43_pii_scrub", "q46_stratified_sample"):
         audit(
             nm,
             Q.queries()[nm](spark, SF),

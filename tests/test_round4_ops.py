@@ -212,3 +212,38 @@ def test_degenerate_million_id_bucket_streams(spark):
     )
     out = DF.sharded_bucket_pairs(rows, ["band"], n_shards=64)
     assert out.limit(100_000).count() == 100_000
+
+
+# -- deterministic stratified sampling ----------------------------------------
+
+
+def test_stratified_sample_rates_and_nesting(spark):
+    """Hash-gate sampling: per-stratum rates honored within tolerance,
+    membership deterministic, and lower-rate samples NESTED inside
+    higher-rate ones (bucket < 300 subset of bucket < 500)."""
+    from xhs_ocr_spark.operators import textops as TX
+
+    n = 4000
+    df = spark.range(n).select(
+        F.col("id").cast("string").alias("doc_id"),
+        F.when(F.col("id") % 3 == 0, "en").otherwise("other").alias("lang"),
+    )
+
+    def sample(rates, default):
+        return {
+            r["doc_id"]
+            for r in TX.stratified_sample(
+                df, "doc_id", F.col("lang"), rates, default
+            ).collect()
+        }
+
+    a = sample({"en": 300}, 1000)
+    b = sample({"en": 500}, 1000)
+    assert a == sample({"en": 300}, 1000)  # deterministic
+    en_ids = {str(i) for i in range(0, n, 3)}
+    a_en, b_en = a & en_ids, b & en_ids
+    assert a_en < b_en  # nested: raising the rate only ADDS rows
+    assert abs(len(a_en) / len(en_ids) - 0.3) < 0.05
+    # non-en stratum kept whole at default 1000, identically in both samples
+    others = {str(i) for i in range(n)} - en_ids
+    assert (a - en_ids) == others and (b - en_ids) == others

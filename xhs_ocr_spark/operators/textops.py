@@ -124,6 +124,45 @@ def trigrams(text: Column) -> Column:
     return F.when(n >= 3, tg).otherwise(F.array().cast("array<string>"))
 
 
+def sample_bucket_x1000(id_col: Column) -> Column:
+    """Deterministic per-row sample bucket in [0, 1000): first 6 md5 hex
+    chars of the id as an integer, mod 1000. Engine-portable (DuckDB:
+    CAST('0x'||substr(md5(id),1,6) AS BIGINT) % 1000), stable across
+    runs and cluster sizes — unlike df.sample(), whose RNG is seeded per
+    partition and reshuffles membership whenever partitioning changes."""
+    return F.conv(F.substring(F.md5(id_col.cast("string")), 1, 6), 16, 10).cast(
+        "long"
+    ) % 1000
+
+
+def stratified_sample(
+    df,
+    id_col: str,
+    strata: Column,
+    rates_x1000: dict[str, int],
+    default_x1000: int = 1000,
+):
+    """Deterministic stratified downsampling — the language/domain
+    rebalancing step of a training-data pipeline (e.g. keep all zh, 30%
+    of en). A row survives iff its hash bucket < its stratum's rate, so
+    membership is a pure function of the id: reproducible, join-free,
+    shuffle-free (narrow scan-speed filter at 10^12 docs), and strata
+    sampled at the same rate keep NESTED samples when rates change
+    (bucket < 300 is a subset of bucket < 500 — the standard md5-gate
+    property rejection-free resampling relies on).
+
+    Returns (id, stratum, bucket_x1000) for surviving rows."""
+    out = df.select(
+        F.col(id_col),
+        strata.alias("stratum"),
+        sample_bucket_x1000(F.col(id_col)).alias("bucket_x1000"),
+    )
+    rate = F.lit(int(default_x1000))
+    for k in sorted(rates_x1000):  # deterministic CASE order
+        rate = F.when(F.col("stratum") == k, F.lit(int(rates_x1000[k]))).otherwise(rate)
+    return out.where(F.col("bucket_x1000") < rate)
+
+
 def fingerprint(text: Column) -> Column:
     """Document fingerprint: md5 of casefolded, whitespace-normalized text.
     (Exact-dedup key; the rolling-hash variant is h64 of the same.)"""

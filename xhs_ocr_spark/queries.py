@@ -759,6 +759,52 @@ FROM f
 """
 
 
+def q_stratified_sample(spark, sf):
+    """Deterministic stratified sampling — the language-rebalancing step
+    of a training-data pipeline: keep all zh, 30% of en, 50% of the
+    rest. Membership is an md5-gate on doc_id (pure function of the id:
+    reproducible across engines, runs, and cluster sizes — df.sample()
+    is none of those), so the whole op is a narrow scan-speed filter."""
+    d = _t(spark, sf, "documents").select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text"
+    )
+    return TX.stratified_sample(
+        d,
+        "doc_id",
+        TX.lang_id(F.col("text")),
+        rates_x1000={"en": 300, "zh": 1000},
+        default_x1000=500,
+    )
+
+
+SQL_STRATIFIED_SAMPLE = r"""
+WITH w AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id, text,
+         list_transform(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> ''), x -> lower(x)) AS ws
+  FROM documents
+), m AS (
+  SELECT doc_id,
+         length(regexp_replace(text, '[^一-鿿]', '', 'g')) > 0 AS zh,
+         len(list_filter(ws, x -> list_contains(['der','die','das','und','nicht','ist'], x))) AS de,
+         len(list_filter(ws, x -> list_contains(['el','la','los','que','de','es'], x))) AS es,
+         len(list_filter(ws, x -> list_contains(['le','la','les','et','est','une'], x))) AS fr
+  FROM w
+), s AS (
+  SELECT doc_id,
+    CASE WHEN zh THEN 'zh'
+         WHEN de > 0 AND de >= es AND de >= fr THEN 'de'
+         WHEN es > 0 AND es >= fr THEN 'es'
+         WHEN fr > 0 THEN 'fr'
+         ELSE 'en' END AS stratum,
+    CAST(CAST(('0x' || substr(md5(doc_id), 1, 6)) AS BIGINT) % 1000 AS BIGINT) AS bucket_x1000
+  FROM m
+)
+SELECT doc_id, stratum, bucket_x1000
+FROM s
+WHERE bucket_x1000 < CASE stratum WHEN 'en' THEN 300 WHEN 'zh' THEN 1000 ELSE 500 END
+"""
+
+
 def q_lang_id(spark, sf):
     d = _t(spark, sf, "documents")
     return d.select("doc_id", TX.lang_id(F.col("text")).alias("lang_guess"))
@@ -1671,6 +1717,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q43_pii_scrub": q_pii_scrub,
         "q44_decontam": q_decontam,
         "q45_para_dedup": q_para_dedup,
+        "q46_stratified_sample": q_stratified_sample,
     }
 
 
@@ -1719,6 +1766,7 @@ def oracle_sql() -> dict[str, str]:
         "q43_pii_scrub": SQL_PII_SCRUB,
         "q44_decontam": SQL_DECONTAM,
         "q45_para_dedup": SQL_PARA_DEDUP,
+        "q46_stratified_sample": SQL_STRATIFIED_SAMPLE,
         # q30: expected output precomputed by the shared pure-Python
         # semantics into a parquet fixture (scripts/build_fixtures.py) —
         # committed only for the oracle scales (sf0.001/sf0.01); at any
