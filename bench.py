@@ -105,6 +105,33 @@ def staged_corpus(spark, sf_dir: str, replicate: int, stage_dir: str, files: int
     return spark.read.parquet(stage_dir)
 
 
+def _mc_md5_work(mb_each: int) -> int:
+    import hashlib
+
+    blob = b"\x5a" * (1 << 20)
+    h = hashlib.md5()
+    for _ in range(mb_each):
+        h.update(blob)
+    h.hexdigest()
+    return 1
+
+
+def vm_calibration_mc_sec(procs: int = 8, mb: int = 48) -> float:
+    """Multi-core companion to vm_calibration_sec: wall seconds for
+    ``procs`` concurrent md5 workers. The single-core calibration can
+    read fast while the ALL-CORE frequency band is low (observed: two
+    fast-single-core passes 25 min apart recorded 18.8k vs 15.4k
+    docs/s) — this pins the band the parallel Spark stages actually ran
+    in. Recorded, not gated on: the retry loop keys on the single-core
+    number whose fast-band value is well-characterized (~0.15s)."""
+    import multiprocessing as mp
+
+    t0 = time.perf_counter()
+    with mp.Pool(procs) as pool:
+        pool.map(_mc_md5_work, [mb] * procs)
+    return round(time.perf_counter() - t0, 3)
+
+
 def vm_calibration_sec(mb: int = 96) -> float:
     """Wall seconds for a fixed single-core md5 workload — Spark-free, so
     it measures only the VM's current per-core speed band (~0.16s on a
@@ -196,6 +223,7 @@ def main() -> None:
         rec = {
             "cal_pre": a_pre,
             "cal_post": a_post,
+            "cal_mc": vm_calibration_mc_sec(),
             "docs_per_sec": round(result["docs_per_sec"], 2),
         }
         attempts.append(rec)
