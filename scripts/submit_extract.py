@@ -3,7 +3,11 @@
 
     spark-submit --py-files dist/xhs_ocr_spark.zip \
         scripts/submit_extract.py <input_docs_parquet> <output_dir> \
-        [n_buckets] [waves]
+        [n_buckets] [waves] [sink_table_dir]
+
+With a fifth argument, extracted spans land in a BucketedMergeTable at
+that path (insert_ignore on (doc_id, order): idempotent re-merge,
+copy-on-write per wave) instead of the plain spans_out parquet dir.
 
 On a cluster the SparkSession comes from spark-submit's conf (master,
 executors); locally it falls back to the session factory. The job is
@@ -26,10 +30,20 @@ def main() -> None:
     spark = SparkSession.builder.appName("xhs-ocr-spark-extract").getOrCreate()
     spark.conf.set("spark.sql.adaptive.enabled", "true")
 
-    from xhs_ocr_spark.extraction.checkpointed import CheckpointedExtraction
+    from xhs_ocr_spark.extraction.checkpointed import (
+        CheckpointedExtraction,
+        make_span_sink,
+    )
 
     docs = spark.read.parquet(input_path)
-    runner = CheckpointedExtraction(spark, output_dir, n_buckets=n_buckets, waves=waves)
+    sink = (
+        make_span_sink(spark, sys.argv[5], n_buckets=n_buckets)
+        if len(sys.argv) > 5
+        else None
+    )
+    runner = CheckpointedExtraction(
+        spark, output_dir, n_buckets=n_buckets, waves=waves, span_sink=sink
+    )
     out = runner.run(docs)
     buckets_ok = runner.lineage().where("status = 'ok'").count()
     print(f"rows_out={out.count()} buckets_ok={buckets_ok}")
