@@ -65,3 +65,48 @@ def test_windowed_counts_batch_parity(spark):
     d = {(r["window_start"], r["event_type"]): r["count"] for r in direct.collect()}
     for r in rows:
         assert d[(r["window_start"], r["event_type"])] == r["n"]
+
+
+def test_incremental_extraction_into_merge_sink(spark, tmp_path):
+    """Streaming -> MERGE sink: availableNow catch-up lands spans in the
+    BucketedMergeTable; a REPLAYED micro-batch (foreachBatch's
+    at-least-once window: crash after write, before checkpoint commit)
+    re-merges to zero duplicates; a re-trigger processes only the delta."""
+    from xhs_ocr_spark.extraction.checkpointed import make_span_sink
+    from xhs_ocr_spark.streaming import incremental_extraction_to_sink
+
+    tmp = str(tmp_path)
+    os.makedirs(f"{tmp}/in", exist_ok=True)
+    _write_docs(spark, tmp, 0, 40, "batch0")
+    sink = make_span_sink(spark, f"{tmp}/table", n_buckets=8)
+
+    def run_once():
+        q = (
+            incremental_extraction_to_sink(spark, f"{tmp}/in/*", sink, f"{tmp}/ck")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    def rows():
+        return {
+            (r["doc_id"], r["kind"], r["text"], r["media_ref"], r["order"])
+            for r in sink.read().collect()
+        }
+
+    run_once()
+    assert rows() == _expected(0, 40)
+
+    # simulate the replay window: the same extracted batch merged again
+    n_before = sink.read().count()
+    from xhs_ocr_spark.extraction.pipeline import extract_spans_flat
+
+    replay = extract_spans_flat(spark.read.parquet(f"{tmp}/in/batch0"))
+    sink.insert_ignore(replay)
+    assert sink.read().count() == n_before  # exactly-once via the merge key
+
+    # delta files: only the new docs are processed and merged
+    _write_docs(spark, tmp, 40, 60, "batch1")
+    run_once()
+    assert rows() == _expected(0, 60)
+    assert sink.read().count() == len(_expected(0, 60))  # multiset equality

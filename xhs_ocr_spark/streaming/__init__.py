@@ -2,6 +2,7 @@
 
 from .incremental import (  # noqa: F401
     incremental_extraction_stream,
+    incremental_extraction_to_sink,
     streaming_dedup_within_watermark,
     windowed_event_counts,
 )

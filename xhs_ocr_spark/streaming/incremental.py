@@ -50,6 +50,42 @@ def incremental_extraction_stream(
     )
 
 
+def incremental_extraction_to_sink(
+    spark: SparkSession,
+    input_dir: str,
+    sink,
+    checkpoint_dir: str,
+) -> DataStreamWriter:
+    """readStream(parquet docs) -> extraction -> foreachBatch MERGE into
+    a BucketedMergeTable via insert_ignore on (doc_id, order).
+
+    Two idempotency layers compose: the source checkpoint makes each
+    input file processed exactly once across restarts, and insert_ignore
+    makes the one failure window Structured Streaming leaves open — a
+    crash AFTER the batch wrote but BEFORE the checkpoint committed, so
+    the batch REPLAYS — a no-op re-merge instead of duplicate rows
+    (foreachBatch is at-least-once by contract; the merge key turns
+    that into exactly-once, the reference's INSERT OR IGNORE semantics,
+    db/__init__.py:110-116). Point batches commit copy-on-write;
+    scattered batches merge-on-read — same sink machinery as the batch
+    checkpoint path."""
+    docs = (
+        spark.readStream.schema(DOCS_SCHEMA)
+        .option("maxFilesPerTrigger", 64)
+        .parquet(input_dir)
+    )
+    out = extract_spans_flat(docs)
+
+    def merge_batch(batch_df: DataFrame, _batch_id: int) -> None:
+        sink.insert_ignore(batch_df)
+
+    return (
+        out.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+
+
 def streaming_dedup_within_watermark(
     docs: DataFrame,
     key_cols: list[str],
