@@ -506,3 +506,58 @@ def test_checkpoint_into_merge_sink_resume_no_dups(spark, tmp_path):
         (r["doc_id"], r["kind"], r["text"], r["media_ref"], r["order"])
         for r in hit.collect()
     } == exp_rows
+
+
+# -- DELETE: the fourth MERGE shape -------------------------------------------
+
+
+def test_delete_semantics_match_flat(spark, tmp_path):
+    from xhs_ocr_spark.sinks import BucketedMergeTable
+
+    flat = ParquetMergeTable(spark, str(tmp_path / "df"))
+    buck = BucketedMergeTable(spark, str(tmp_path / "db"), keys=["k"], n_buckets=8)
+    seed = spark.createDataFrame([Row(k=f"k{i}", v="0") for i in range(40)])
+    flat.upsert(seed, ["k"]); buck.upsert(seed)
+    dels = spark.createDataFrame([Row(k="k3"), Row(k="k7"), Row(k="nope")])
+    flat.delete(dels, ["k"]); buck.delete(dels)
+    assert _rows(buck) == _rows(flat)
+    assert len(_rows(buck)) == 38  # 'nope' was a no-op
+    assert buck.lookup(k="k3").count() == 0
+    # point delete in clean state stays copy-on-write (no MOR trees)
+    assert not buck.in_mor_state()
+    # delete-then-upsert re-inserts the key
+    flat.upsert(spark.createDataFrame([Row(k="k3", v="back")]), ["k"])
+    buck.upsert(spark.createDataFrame([Row(k="k3", v="back")]))
+    assert _rows(buck) == _rows(flat)
+    assert {r["v"] for r in buck.lookup(k="k3").collect()} == {"back"}
+
+
+def test_scattered_delete_is_mor_and_obatch(spark, tmp_path):
+    """A delete scattering across >= half the buckets writes ONLY an
+    equality-delete key file (O(batch) bytes); reads mask it; a later
+    upsert re-inserts; compact() folds everything clean."""
+    import os as _os
+
+    from xhs_ocr_spark.sinks import BucketedMergeTable
+
+    path = str(tmp_path / "sd")
+    t = BucketedMergeTable(spark, path, keys=["k"], n_buckets=16)
+    t.upsert(
+        spark.createDataFrame(
+            [Row(k=f"k{i}", v=f"{i:05d}" * 20) for i in range(8000)]
+        )
+    )
+    t.delete(spark.createDataFrame([Row(k=f"k{i}") for i in range(0, 8000, 4)]))
+    assert t.in_mor_state()
+    snaps = t.snapshot_ids()
+    prev_dir = _os.path.join(path, "snapshots", f"{snaps[-2]:06d}")
+    new_dir = _os.path.join(path, "snapshots", f"{snaps[-1]:06d}")
+    _, base_bytes = _snap_inodes_and_bytes(prev_dir)
+    assert _new_bytes(prev_dir, new_dir) < base_bytes / 10  # key file only
+    assert t.read().count() == 6000
+    assert t.lookup(k="k4").count() == 0 and t.lookup(k="k5").count() == 1
+    t.upsert(spark.createDataFrame([Row(k="k4", v="revived")]))
+    assert {r["v"] for r in t.lookup(k="k4").collect()} == {"revived"}
+    t.compact()
+    assert not t.in_mor_state()
+    assert t.read().count() == 6001

@@ -112,6 +112,19 @@ class ParquetMergeTable:
         cur, updates = self._align(cur, updates)
         self._commit(cur.unionByName(updates))
 
+    def delete(self, keys_df: DataFrame, keys: list[str]) -> None:
+        """Iceberg: DELETE FROM t WHERE (keys) IN (...). Removes every
+        row whose key appears in ``keys_df``; a no-op on keys not
+        present (like SQL DELETE)."""
+        cur = self.read()
+        if cur is None:
+            return
+        self._commit(
+            cur.join(
+                keys_df.select(keys).dropDuplicates(keys), on=keys, how="left_anti"
+            )
+        )
+
     # -- retention (K7) ---------------------------------------------------------
 
     def snapshot_ids(self) -> list[int]:
@@ -267,16 +280,23 @@ class BucketedMergeTable(ParquetMergeTable):
     def _snap_path(self, sid: int) -> str:
         return os.path.join(self._snap_dir, f"{sid:06d}")
 
-    def _delta_seqs(self, sid: int) -> list[int]:
-        """Sorted MOR commit sequence numbers present in a snapshot."""
+    def _seq_dirs(self, sid: int, kind: str) -> list[int]:
         try:
             return sorted(
                 int(d)
-                for d in os.listdir(os.path.join(self._snap_path(sid), "_deltas"))
+                for d in os.listdir(os.path.join(self._snap_path(sid), kind))
                 if d.isdigit()
             )
         except FileNotFoundError:
             return []
+
+    def _delta_seqs(self, sid: int) -> list[int]:
+        """Sorted MOR commit sequence numbers present in a snapshot —
+        the union of delta and delete trees (a DELETE commit writes an
+        equality-delete file with no delta)."""
+        return sorted(
+            set(self._seq_dirs(sid, "_deltas")) | set(self._seq_dirs(sid, "_deletes"))
+        )
 
     def in_mor_state(self) -> bool:
         sid = self._latest_id()
@@ -318,9 +338,10 @@ class BucketedMergeTable(ParquetMergeTable):
 
         out = masked(base, 0)
         for s in seqs:
-            delta = self.spark.read.parquet(
-                os.path.join(snap, "_deltas", f"{s:06d}")
-            )
+            d = os.path.join(snap, "_deltas", f"{s:06d}")
+            if not os.path.isdir(d):
+                continue  # delete-only commit: masks, no new rows
+            delta = self.spark.read.parquet(d)
             out = out.unionByName(masked(delta.select(out.columns), s))
         return out
 
@@ -463,6 +484,51 @@ class BucketedMergeTable(ParquetMergeTable):
         if (
             self.auto_compact_deltas is not None
             and len(self._delta_seqs(self._latest_id())) >= self.auto_compact_deltas
+        ):
+            self.compact()
+
+    def delete(self, keys_df: DataFrame, keys: list[str] | None = None) -> None:
+        """Iceberg: DELETE FROM t WHERE (keys) IN (...) — the fourth
+        MERGE shape, free once equality deletes exist. Point batches in
+        clean state commit copy-on-write (touched buckets rewritten
+        minus the keys; a bucket emptied entirely simply vanishes from
+        the new snapshot); scattered batches or MOR state commit an
+        equality-delete file alone — O(batch) bytes, no delta rows —
+        which the sequence rule applies to everything earlier. A later
+        upsert of the same key re-inserts it (higher sequence)."""
+        if keys is not None and list(keys) != self.keys:
+            raise ValueError(f"table is keyed by {self.keys}, got {keys}")
+        prev = self._latest_id()
+        if prev is None:
+            return
+        kb = self._with_bucket(keys_df.select(self.keys).dropDuplicates(self.keys))
+        touched = self._touched(kb)
+        if not touched:
+            return
+        if not self.in_mor_state() and len(touched) < max(1, self.n_buckets // 2):
+            cur_t = self._read_raw().where(
+                F.col(self.BUCKET_COL).isin(sorted(touched))
+            )
+            merged = cur_t.join(
+                kb.select(self.keys), on=self.keys, how="left_anti"
+            )
+            self._commit_buckets(merged, touched, prev)
+            return
+        import shutil
+
+        sid = prev + 1
+        out = self._snap_path(sid)
+        shutil.rmtree(out, ignore_errors=True)  # stale crashed commit
+        self._link_tree(self._snap_path(prev), out)
+        (
+            kb.select(self.keys)
+            .coalesce(1)
+            .write.parquet(os.path.join(out, "_deletes", f"{sid:06d}"))
+        )
+        self._finish_commit(sid)
+        if (
+            self.auto_compact_deltas is not None
+            and len(self._delta_seqs(sid)) >= self.auto_compact_deltas
         ):
             self.compact()
 
