@@ -561,3 +561,24 @@ def test_scattered_delete_is_mor_and_obatch(spark, tmp_path):
     t.compact()
     assert not t.in_mor_state()
     assert t.read().count() == 6001
+
+
+def test_expire_snapshots_in_mor_state_keeps_data(spark, tmp_path):
+    """K7 retention while merge-on-read trees are hard-linked forward:
+    expiring old snapshots only unlinks THEIR names — the latest
+    snapshot's links keep every base, delta and delete file alive, and
+    the resolved view is unchanged."""
+    from xhs_ocr_spark.sinks import BucketedMergeTable
+
+    t = BucketedMergeTable(spark, str(tmp_path / "exp"), keys=["k"], n_buckets=4)
+    t.upsert(spark.createDataFrame([Row(k=f"k{i}", v="0") for i in range(40)]))
+    t.upsert(spark.createDataFrame([Row(k=f"k{i}", v="1") for i in range(0, 40, 2)]))
+    t.delete(spark.createDataFrame([Row(k="k1"), Row(k="k3")]))
+    assert t.in_mor_state()
+    before = sorted(tuple(r) for r in t.read().select("k", "v").collect())
+
+    expired = t.expire_snapshots(keep_n=1)
+    assert expired  # something actually got expired
+    after = sorted(tuple(r) for r in t.read().select("k", "v").collect())
+    assert after == before
+    assert {r["v"] for r in t.lookup(k="k2").collect()} == {"1"}
