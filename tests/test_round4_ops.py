@@ -247,3 +247,39 @@ def test_stratified_sample_rates_and_nesting(spark):
     # non-en stratum kept whole at default 1000, identically in both samples
     others = {str(i) for i in range(n)} - en_ids
     assert (a - en_ids) == others and (b - en_ids) == others
+
+
+# -- near-dup clustering (pairs -> components -> decisions) -------------------
+
+
+def test_neardup_components_chain_and_star(spark):
+    """A chain (a-b-c-d) needs multiple propagation rounds to converge;
+    a star and a singleton pair label directly; disjoint components
+    stay disjoint."""
+    pairs = spark.createDataFrame(
+        [
+            ("a", "b"), ("b", "c"), ("c", "d"),          # chain: comp a
+            ("hub", "s1"), ("hub", "s2"), ("hub", "s3"),  # star: comp hub
+            ("x", "y"),                                   # pair: comp x
+        ],
+        schema="id_a string, id_b string",
+    )
+    got = {r["id"]: r["comp"] for r in DF.neardup_components(pairs).collect()}
+    assert got == {
+        "a": "a", "b": "a", "c": "a", "d": "a",
+        "hub": "hub", "s1": "hub", "s2": "hub", "s3": "hub",
+        "x": "x", "y": "x",
+    }
+
+
+def test_neardup_components_long_chain_converges(spark):
+    """A 30-node path graph: worst case for min-label propagation —
+    must still converge (and early-stop) within max_iter."""
+    n = 30
+    pairs = spark.createDataFrame(
+        [(f"n{i:02d}", f"n{i+1:02d}") for i in range(n - 1)],
+        schema="id_a string, id_b string",
+    )
+    out = DF.neardup_components(pairs, max_iter=40).collect()
+    assert len(out) == n
+    assert {r["comp"] for r in out} == {"n00"}

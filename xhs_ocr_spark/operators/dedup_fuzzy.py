@@ -306,6 +306,82 @@ def lsh_candidate_pairs(
     return sharded_bucket_pairs(sig, ["band"]).distinct()
 
 
+def neardup_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
+    """Connected components over near-duplicate pairs -> (id, comp) with
+    comp = the minimum id in the component — the step that turns
+    candidate PAIRS into dedup DECISIONS (keep the component
+    representative, drop the rest; only ids that appear in a pair are
+    returned, everything else is trivially its own component).
+
+    Iterative min-label propagation: each round joins labels across the
+    (symmetrized) edge list, takes the neighborhood minimum, and
+    early-stops when no label changes — converges within the component
+    diameter (near-dup clusters are clique-ish, so a handful of rounds
+    in practice; the large-star/small-star variant halves rounds if
+    diameters ever bite). Labels are localCheckpoint'ed every round:
+    persist alone is NOT enough for iterative algorithms — it caches
+    data but the LOGICAL PLAN still compounds per round until the
+    planner itself OOMs (reproduced at ~29 rounds on a 30-node path
+    graph); checkpointing truncates lineage. localCheckpoint trades
+    executor-loss recovery for speed — swap for checkpoint() with a
+    reliable dir on a real cluster. One shuffle per round on uniformly
+    distributed ids.
+
+    This operator is the engine's one genuinely non-single-SQL
+    computation; the DuckDB oracle uses a recursive-CTE transitive
+    closure (exact, but quadratic — oracle-scale only)."""
+    from pyspark.storagelevel import StorageLevel
+
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .unionByName(
+            pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+        )
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .select("id", F.col("id").alias("comp"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        nb = (
+            edges.join(
+                labels.select(
+                    F.col("id").alias("dst_id"), F.col("comp").alias("dst_comp")
+                ),
+                F.col("dst") == F.col("dst_id"),
+            )
+            .groupBy("src")
+            .agg(F.min("dst_comp").alias("nb_min"))
+            .withColumnRenamed("src", "id")
+        )
+        new = (
+            labels.join(nb, on="id", how="left")
+            .select(
+                "id",
+                F.least(
+                    F.col("comp"), F.coalesce(F.col("nb_min"), F.col("comp"))
+                ).alias("comp"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new.join(
+                labels.select("id", F.col("comp").alias("old_comp")), on="id"
+            )
+            .where(F.col("comp") != F.col("old_comp"))
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels
+
+
 def simhash(text_col, bits: int = 16):
     """SimHash over word hashes: bit j of the output is the sign of the
     sum over words of (+1 if bit j of h64(word) else -1).

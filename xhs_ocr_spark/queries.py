@@ -805,6 +805,61 @@ WHERE bucket_x1000 < CASE stratum WHEN 'en' THEN 300 WHEN 'zh' THEN 1000 ELSE 50
 """
 
 
+def q_neardup_clusters(spark, sf):
+    """LSH candidate pairs -> connected components -> dedup decisions:
+    one row per doc that appears in any near-dup pair, labeled with its
+    component (= min doc_id in the cluster) and keep = 1 iff it IS the
+    representative. The Spark side is the iterative min-label
+    propagation in dedup_fuzzy.neardup_components; the oracle is a
+    recursive-CTE transitive closure over the same pair set."""
+    d = _t(spark, sf, "documents")
+    pairs = DF.lsh_candidate_pairs(d, "doc_id", "text")
+    comp = DF.neardup_components(pairs)
+    return comp.select(
+        F.col("id").alias("doc_id"),
+        F.col("comp").alias("component"),
+        (F.col("id") == F.col("comp")).cast("long").alias("keep"),
+    )
+
+
+SQL_NEARDUP_CLUSTERS = r"""
+WITH RECURSIVE w AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS ws FROM documents
+), sh AS (
+  SELECT doc_id,
+         list_transform(generate_series(1, greatest(len(ws) - 2, 1)),
+                        i -> array_to_string(ws[i:(i+2)], ' ')) AS shingles
+  FROM w
+), sig AS (
+  SELECT doc_id,
+         list_transform(generate_series(0, 7),
+                        i -> list_min(list_transform(shingles,
+                               s -> substr(md5(CAST(i // 4 AS VARCHAR) || '|' || s), (i % 4) * 8 + 1, 8)))) AS sg
+  FROM sh
+), bands AS (
+  SELECT doc_id, unnest(
+    list_transform(generate_series(0, 3),
+                   b -> md5(CAST(b AS VARCHAR) || '#' || array_to_string(sg[(b*2+1):(b*2+2)], ',')))) AS band
+  FROM sig
+), pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id
+), e AS (
+  SELECT id_a AS s, id_b AS d FROM pairs
+  UNION
+  SELECT id_b AS s, id_a AS d FROM pairs
+), reach AS (
+  SELECT s, d FROM e
+  UNION
+  SELECT r.s, e2.d FROM reach r JOIN e e2 ON r.d = e2.s WHERE e2.d <> r.s
+)
+SELECT s AS doc_id,
+       CAST(least(s, min(d)) AS BIGINT) AS component,
+       CAST(CASE WHEN least(s, min(d)) = s THEN 1 ELSE 0 END AS BIGINT) AS keep
+FROM reach GROUP BY s
+"""
+
+
 def q_lang_id(spark, sf):
     d = _t(spark, sf, "documents")
     return d.select("doc_id", TX.lang_id(F.col("text")).alias("lang_guess"))
@@ -1718,6 +1773,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q44_decontam": q_decontam,
         "q45_para_dedup": q_para_dedup,
         "q46_stratified_sample": q_stratified_sample,
+        "q47_neardup_clusters": q_neardup_clusters,
     }
 
 
@@ -1767,6 +1823,7 @@ def oracle_sql() -> dict[str, str]:
         "q44_decontam": SQL_DECONTAM,
         "q45_para_dedup": SQL_PARA_DEDUP,
         "q46_stratified_sample": SQL_STRATIFIED_SAMPLE,
+        "q47_neardup_clusters": SQL_NEARDUP_CLUSTERS,
         # q30: expected output precomputed by the shared pure-Python
         # semantics into a parquet fixture (scripts/build_fixtures.py) —
         # committed only for the oracle scales (sf0.001/sf0.01); at any
