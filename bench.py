@@ -216,6 +216,8 @@ def main() -> None:
     max_attempts = int(os.environ.get("BENCH_BAND_RETRIES", "3"))
     attempts: list[dict] = []
     best = None
+    band = "best_of_slow"  # ADVICE r4: mark fallback headlines explicitly
+    chosen_attempt = -1
     for attempt in range(max_attempts):
         a_pre = vm_calibration_sec()
         result = timed_section()
@@ -225,16 +227,21 @@ def main() -> None:
             "cal_post": a_post,
             "cal_mc": vm_calibration_mc_sec(),
             "docs_per_sec": round(result["docs_per_sec"], 2),
+            # per-attempt per-query timings: a band artifact on ONE query
+            # (the r04 q27 "regression") is visible against the other
+            # attempts instead of masquerading as a code regression
+            "timings": result["timings"],
         }
         attempts.append(rec)
         if best is None or result["docs_per_sec"] > best[0]["docs_per_sec"]:
-            best = (result, rec)
+            best = (result, attempt)
         if a_pre <= cal_threshold and a_post <= cal_threshold:
-            best = (result, rec)  # fast-band attempt wins outright
+            best = (result, attempt)  # fast-band attempt wins outright
+            band = "fast"
             break
         if attempt + 1 < max_attempts:
             time.sleep(float(os.environ.get("BENCH_BAND_WAIT_SEC", "25")))
-    chosen, _ = best
+    chosen, chosen_attempt = best
     docs_per_sec = chosen["docs_per_sec"]
     timings = chosen["timings"]
     spread = chosen["spread"]
@@ -277,6 +284,8 @@ def main() -> None:
                 "query_spread_maxmin": spread,
                 "ivf_recall_at_3": ivf_recall,
                 "vm_calibration_sec": {"pre": cal_pre, "post": cal_post},
+                "band": band,
+                "chosen_attempt": chosen_attempt,
                 "band_attempts": attempts,
             }
         )
