@@ -110,6 +110,44 @@ def main() -> None:
                     ),
                 },
             )
+
+    # --- bounded-read-amplification series (round-4 verdict item 3) ---
+    # ~50 scattered batches against the DEFAULT table: auto-compaction
+    # must keep read() wall time a sawtooth (bounded by the delta-count /
+    # delete-bytes policy), not monotone growth. Reported: per-batch
+    # outstanding delta count and read seconds, plus the max/median.
+    import statistics
+    import tempfile
+
+    n_series = int(os.environ.get("MERGE_BENCH_SERIES", "50"))
+    with tempfile.TemporaryDirectory() as td:
+        t = BucketedMergeTable(spark, os.path.join(td, "series"), keys=["k"], n_buckets=256)
+        t.upsert(base, ["k"])
+        reads, deltas = [], []
+        for i in range(n_series):
+            t.upsert(
+                spark.range(1000).select(
+                    F.concat(F.lit("k"), (F.col("id") * 997 + i)).alias("k"),
+                    F.lit(f"series{i}").alias("v"),
+                )
+            )
+            deltas.append(len(t._delta_seqs(t._latest_id())))
+            t0 = time.time()
+            t.read().count()
+            reads.append(round(time.time() - t0, 2))
+        print(
+            "scattered_series",
+            {
+                "batches": n_series,
+                "auto_compact_deltas": t.auto_compact_deltas,
+                "max_outstanding_deltas": max(deltas),
+                "read_sec_max": max(reads),
+                "read_sec_median": round(statistics.median(reads), 2),
+                "read_sec_first5": reads[:5],
+                "read_sec_last5": reads[-5:],
+                "bounded": max(deltas) < (t.auto_compact_deltas or 10**9),
+            },
+        )
     spark.stop()
 
 

@@ -45,3 +45,255 @@ def test_ngram_jaccard_bad_hash_mode_rejected(spark):
     d = _docs(spark, [(1, "a b c d")])
     with pytest.raises(ValueError, match="hash_mode"):
         DF.ngram_jaccard_pairs(d, "doc_id", "text", hash_mode="md5")
+
+
+# ---------------------------------------------------------------------------
+# MOR read-amplification bounds (round-4 verdict item 3 / ADVICE r4)
+# ---------------------------------------------------------------------------
+
+
+def test_default_auto_compact_bounds_deltas(spark, tmp_path):
+    """The DEFAULT table bounds MOR accumulation: across many scattered
+    batches the outstanding delta count never exceeds auto_compact_deltas
+    (sawtooth, not monotone growth) and the content stays correct."""
+    from xhs_ocr_spark.sinks import BucketedMergeTable
+
+    t = BucketedMergeTable(spark, str(tmp_path / "bounded"), keys=["k"], n_buckets=4)
+    assert t.auto_compact_deltas is not None  # bounded by default now
+    t.upsert(spark.createDataFrame([Row(k=f"k{i}", v="0") for i in range(40)]))
+    max_seen = 0
+    for b in range(1, 13):
+        t.upsert(
+            spark.createDataFrame(
+                [Row(k=f"k{i}", v=str(b)) for i in range(0, 40, 2)]
+            )
+        )
+        n = len(t._delta_seqs(t._latest_id()))
+        max_seen = max(max_seen, n)
+        assert n < t.auto_compact_deltas, (b, n)
+    assert max_seen > 0  # MOR actually engaged between compactions
+    got = {r["k"]: r["v"] for r in t.read().collect()}
+    assert got["k0"] == "12" and got["k1"] == "0" and len(got) == 40
+
+
+def test_delete_byte_volume_triggers_compact(spark, tmp_path):
+    """Auto-compaction also keys on accumulated equality-delete bytes —
+    a few huge scattered batches must not ride below a count-only bound
+    (ADVICE r4)."""
+    from xhs_ocr_spark.sinks import BucketedMergeTable
+
+    t = BucketedMergeTable(
+        spark,
+        str(tmp_path / "bytes"),
+        keys=["k"],
+        n_buckets=4,
+        auto_compact_deltas=None,
+        auto_compact_delete_bytes=1,
+    )
+    t.upsert(spark.createDataFrame([Row(k=f"k{i}", v="0") for i in range(40)]))
+    t.upsert(spark.createDataFrame([Row(k=f"k{i}", v="1") for i in range(0, 40, 2)]))
+    assert not t.in_mor_state()  # any delete file trips the 1-byte bound
+    got = {r["k"]: r["v"] for r in t.read().collect()}
+    assert got["k0"] == "1" and got["k1"] == "0"
+
+
+def test_large_delete_set_reads_without_broadcast_hint(spark, tmp_path):
+    """_read_raw must NOT force-broadcast the equality-delete key frames
+    once their on-disk bytes exceed the threshold (ADVICE r4: scattered
+    upserts make the delete set O(batch) — a forced broadcast OOMs at the
+    design point). Below the threshold the hint stays."""
+    from xhs_ocr_spark.sinks import BucketedMergeTable
+
+    def mk(name, threshold):
+        t = BucketedMergeTable(
+            spark,
+            str(tmp_path / name),
+            keys=["k"],
+            n_buckets=4,
+            auto_compact_deltas=None,
+            auto_compact_delete_bytes=None,
+        )
+        t.BROADCAST_DELETE_BYTES = threshold
+        t.upsert(spark.createDataFrame([Row(k=f"k{i}", v="0") for i in range(40)]))
+        t.upsert(
+            spark.createDataFrame([Row(k=f"k{i}", v="1") for i in range(0, 40, 2)])
+        )
+        assert t.in_mor_state()
+        return t
+
+    big = mk("nohint", 0)  # every delete set is "too big"
+    plan = big._read_raw()._jdf.queryExecution().analyzed().toString()
+    assert "hint" not in plan.lower()
+    got = {r["k"]: r["v"] for r in big.read().collect()}
+    assert got["k0"] == "1" and got["k1"] == "0" and len(got) == 40
+
+    small = mk("hint", 1 << 30)  # always under threshold
+    plan = small._read_raw()._jdf.queryExecution().analyzed().toString()
+    assert "hint" in plan.lower()
+    got2 = {r["k"]: r["v"] for r in small.read().collect()}
+    assert got2 == got
+
+
+def test_bucket_keys_backfill_on_legacy_table(spark, tmp_path):
+    """A pre-BUCKET_KEYS table (snapshots, no pin file) was bucketed by
+    its full key set: reopening must backfill the pin with `keys` and
+    reject any narrower bucket_keys argument — silently accepting one
+    made lookup() prune to the wrong bucket (ADVICE r4)."""
+    import os as _os
+
+    import pytest
+
+    from xhs_ocr_spark.sinks import BucketedMergeTable
+
+    path = str(tmp_path / "legacy")
+    t = BucketedMergeTable(spark, path, keys=["a", "b"], n_buckets=4)
+    t.upsert(spark.createDataFrame([Row(a=f"a{i}", b=f"b{i}", v="0") for i in range(20)]))
+    _os.remove(_os.path.join(path, "BUCKET_KEYS"))  # simulate legacy layout
+
+    with pytest.raises(ValueError, match="predates BUCKET_KEYS"):
+        BucketedMergeTable(spark, path, keys=["a", "b"], bucket_keys=["a"])
+
+    t2 = BucketedMergeTable(spark, path, keys=["a", "b"])
+    assert t2.bucket_keys == ["a", "b"]
+    with open(_os.path.join(path, "BUCKET_KEYS")) as f:
+        assert f.read().strip() == "a,b"
+    assert [tuple(r) for r in t2.lookup(a="a3", b="b3").select("v").collect()] == [("0",)]
+
+
+# ---------------------------------------------------------------------------
+# neardup_components: reliable checkpoint + convergence guard (r4 item 4)
+# ---------------------------------------------------------------------------
+
+
+def test_neardup_components_reliable_checkpoint_dir(spark, tmp_path):
+    """checkpoint_dir switches localCheckpoint -> reliable checkpoint();
+    labels must be identical and checkpoint files must actually land in
+    the given dir (lineage truncated through the reliable path)."""
+    import os as _os
+
+    pairs = spark.createDataFrame(
+        [Row(id_a=a, id_b=b) for a, b in [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22)]]
+    )
+    local = {(r["id"], r["comp"]) for r in DF.neardup_components(pairs).collect()}
+    ckdir = str(tmp_path / "ck")
+    reliable = {
+        (r["id"], r["comp"])
+        for r in DF.neardup_components(pairs, checkpoint_dir=ckdir).collect()
+    }
+    assert local == reliable
+    assert local == {(1, 1), (2, 1), (3, 1), (10, 10), (11, 10), (20, 20), (21, 20), (22, 20)}
+    found = any(files for _r, _d, files in _os.walk(ckdir))
+    assert found, "reliable checkpoint wrote nothing under checkpoint_dir"
+
+
+def test_neardup_components_nonconvergence_raises(spark):
+    """A component with diameter > max_iter must fail loudly, not return
+    silently-wrong labels (ADVICE r4)."""
+    import pytest
+
+    chain = spark.createDataFrame(
+        [Row(id_a=i, id_b=i + 1) for i in range(12)]
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        DF.neardup_components(chain, max_iter=3)
+    # and with enough rounds the same chain is one component labeled 0
+    ok = {(r["id"], r["comp"]) for r in DF.neardup_components(chain, max_iter=15).collect()}
+    assert ok == {(i, 0) for i in range(13)}
+
+
+# ---------------------------------------------------------------------------
+# q48 composed corpus pipeline (round-4 verdict item 1)
+# ---------------------------------------------------------------------------
+
+
+def _planted_corpus(spark):
+    """One doc per funnel stage, each planted to be dropped by exactly
+    that stage (ids castable to bigint; id 0 is the eval doc)."""
+    base = "alpha bravo charlie the delta echo foxtrot golf hotel india juliet kilo"
+    rows = [
+        # id 0: eval doc (0 % 11 == 0) — self-contaminated, drops at decontam
+        (0, "unique evalset words the quick brown fox jumps over lazy dogs tonight"),
+        # id 1: too short -> quality gate
+        (1, "tiny the doc"),
+        # id 2: repetitive -> repetition gate
+        (2, " ".join(["spam"] * 18) + " the"),
+        # ids 3/4: exact duplicates -> 4 drops at exact dedup
+        (3, base),
+        (4, base),
+        # id 5: id 3's three 4-word paragraphs PERMUTED — different full
+        # text (survives exact dedup) but every paragraph is a repeat ->
+        # vanishes at paragraph dedup (rebuilt text empty)
+        (5, "delta echo foxtrot golf alpha bravo charlie the hotel india juliet kilo"),
+        # ids 6/7: unaligned near-dups (7 = 6 shifted by one word):
+        # paragraphs differ, 3-gram shingles mostly shared -> LSH pair,
+        # 7 drops at near-dup stage
+        (6, "nova orbit pulsar the quasar rover solar tundra umbra vortex willow xenon yonder"),
+        (7, "orbit pulsar the quasar rover solar tundra umbra vortex willow xenon yonder"),
+        # id 8: clean doc that survives every dedup stage but falls to the
+        # 30% md5 sample gate (bucket 424); id 18 survives it (bucket < 300)
+        (8, "zeta yarrow xylem the walnut violet umber topaz sierra rhubarb quartz pine"),
+        (18, "amber birch cedar the dune ember fjord grove heath inlet jade knoll"),
+    ]
+    return spark.createDataFrame(
+        [Row(doc_id=str(i), text=t) for i, t in rows]
+    )
+
+
+def test_corpus_pipeline_planted_stage_drops(spark):
+    from xhs_ocr_spark.plans.corpus_pipeline import corpus_stages
+
+    stages = corpus_stages(_planted_corpus(spark))
+
+    def ids(name):
+        return {r["doc_id"] for r in stages[name].select("doc_id").collect()}
+
+    assert ids("input") == {str(i) for i in range(9)} | {"18"}
+    assert ids("quality_gate") == ids("input") - {"1"}
+    assert ids("repetition_gate") == ids("quality_gate") - {"2"}
+    assert ids("exact_dedup") == ids("repetition_gate") - {"4"}  # 3 < 4 keeps 3
+    assert ids("paragraph_dedup") == ids("exact_dedup") - {"5"}
+    assert ids("neardup_dedup") == ids("paragraph_dedup") - {"7"}  # 6 < 7 keeps 6
+    assert ids("decontam") == ids("neardup_dedup") - {"0"}
+    # stratified sample: en-strata md5 gate, pure function of the id
+    import hashlib
+
+    expect = {
+        d for d in ids("decontam")
+        if int(hashlib.md5(d.encode()).hexdigest()[:6], 16) % 1000 < 300
+    }
+    assert ids("stratified_sample") == expect
+
+
+def test_corpus_pipeline_funnel_counts_monotone(spark):
+    from xhs_ocr_spark.plans.corpus_pipeline import STAGES, corpus_funnel
+
+    rows = corpus_funnel(_planted_corpus(spark)).collect()
+    by_idx = {r["stage_idx"]: (r["stage"], r["n_docs"]) for r in rows}
+    assert [by_idx[i][0] for i in range(len(STAGES))] == STAGES
+    counts = [by_idx[i][1] for i in range(len(STAGES))]
+    assert counts[0] == 10 and all(a >= b for a, b in zip(counts, counts[1:]))
+    assert counts[-1] >= 1  # someone survives the whole funnel
+
+
+def test_corpus_pipeline_resume_through_sink(spark, tmp_path):
+    """The pipeline's survivors land in the bucketed MERGE sink via
+    insert_ignore; an at-least-once REPLAY of the same batch (the crash/
+    retry contract checkpointed extraction relies on) must not duplicate
+    rows, and a later incremental batch adds only its own docs."""
+    from xhs_ocr_spark.plans.corpus_pipeline import corpus_survivors
+    from xhs_ocr_spark.sinks import BucketedMergeTable
+
+    surv = corpus_survivors(_planted_corpus(spark))
+    t = BucketedMergeTable(spark, str(tmp_path / "corpus"), keys=["doc_id"], n_buckets=4)
+    t.insert_ignore(surv)
+    first = sorted(r["doc_id"] for r in t.read().collect())
+    assert first  # some docs survive the planted funnel
+    t.insert_ignore(surv)  # replay: at-least-once -> exactly-once
+    assert sorted(r["doc_id"] for r in t.read().collect()) == first
+    # incremental batch: new doc ids pass straight through
+    extra = spark.createDataFrame(
+        [Row(doc_id="100", stratum="en", bucket_x1000=1)]
+    )
+    t.insert_ignore(extra)
+    got = sorted(r["doc_id"] for r in t.read().collect())
+    assert got == sorted(first + ["100"])

