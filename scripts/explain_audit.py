@@ -248,6 +248,46 @@ def main() -> None:
         if not want:
             failures.append(("flagship_flat", label))
 
+    # q48 composed corpus pipeline (round-4 verdict item 1): the funnel
+    # plan sits entirely ABOVE the localCheckpoint of the extracted text,
+    # so it must contain NO parquet scan and NO python stage at all (the
+    # one corpus scan + one mapInPandas ran exactly once, inside the
+    # checkpointed flagship job whose shape flagship_flat pins); dedup
+    # stages must aggregate (partial_min / partial_collect_set), never
+    # window over a fingerprint; nothing quadratic.
+    audit(
+        "q48_corpus_pipeline",
+        Q.queries()["q48_corpus_pipeline"](spark, SF),
+        [
+            # default (stage-checkpointed) form: every stage materialized
+            # exactly once — the funnel plan reads only checkpointed RDDs
+            ("no parquet scan above the checkpoints", r"(?m)^\(\d+\) Scan parquet", False),
+            ("no python anywhere", r"EvalPython|MapInPandas", False),
+            ("no nested loop / cartesian", r"NestedLoop|CartesianProduct", False),
+        ],
+    )
+    # the fully-LAZY composed funnel (stage_checkpoints=False) pins the
+    # logical composition: dedup stages aggregate (partial_min), no
+    # window ever partitions by a fingerprint, nothing quadratic. (The
+    # LSH partial_collect_set invariant is pinned on q25's plan; the pair
+    # expansion runs inside the component labels' eager checkpoint jobs.)
+    from xhs_ocr_spark.plans.corpus_pipeline import (
+        corpus_funnel as _cf,
+        doc_text_from_spans as _dts,
+    )
+
+    audit(
+        "q48_corpus_pipeline_lazy",
+        _cf(_dts(Q.queries()["q30_extract_flagship"](spark, SF)), stage_checkpoints=False),
+        [
+            ("no parquet scan above the base checkpoint", r"(?m)^\(\d+\) Scan parquet", False),
+            ("no python anywhere", r"EvalPython|MapInPandas", False),
+            ("paragraph dedup partial_min before shuffle", r"partial_min", True),
+            ("no window over fp", r"RunningWindowFunction|\(\d+\) Window", False),
+            ("no nested loop / cartesian", r"NestedLoop|CartesianProduct", False),
+        ],
+    )
+
     print(f"\n{len(failures)} plan-invariant failures; plans in {OUT}/")
     spark.stop()
     sys.exit(1 if failures else 0)

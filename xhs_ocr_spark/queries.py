@@ -1114,6 +1114,147 @@ def q_extract_flagship(spark, sf):
     )
 
 
+def q_corpus_pipeline(spark, sf):
+    """q48: the full LLM-corpus pipeline composed end-to-end (round-4
+    verdict item 1) — extraction (q30 path) -> quality -> repetition ->
+    PII scrub -> exact dedup -> paragraph dedup -> near-dup clustering ->
+    decontamination -> stratified sampling — returning funnel metrics
+    (stage_idx, stage, n_docs). The oracle twin replays every stage in
+    DuckDB starting from the precomputed extraction fixture (the same
+    fixture q30 is checked against), so the row the driver hashes is the
+    whole composed pipeline's behavior."""
+    from .plans.corpus_pipeline import corpus_funnel, doc_text_from_spans
+
+    return corpus_funnel(doc_text_from_spans(q_extract_flagship(spark, sf)))
+
+
+def _sql_corpus_pipeline() -> str:
+    return f"""
+WITH RECURSIVE doc_text AS (
+  SELECT doc_id, string_agg(text, ' ' ORDER BY "order") AS text
+  FROM read_parquet('{_flagship_fixture_path()}')
+  WHERE kind = 'text' GROUP BY doc_id
+), gates AS (
+  SELECT doc_id, text,
+         list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '') AS ws
+  FROM doc_text
+), gmetrics AS (
+  SELECT doc_id, text, len(ws) AS n, len(list_distinct(ws)) AS dw,
+         len(list_filter(ws, x -> list_contains(['the','a','an','and','or','of','to','in','is','it'], lower(x)))) / CAST(len(ws) AS DOUBLE) AS sw,
+         list_sum(list_transform(ws, x -> length(x))) / CAST(len(ws) AS DOUBLE) AS avg_word
+  FROM gates
+), flags AS (
+  SELECT doc_id, text,
+    CAST(round(
+      (CASE WHEN n BETWEEN 10 AND 1000 THEN 1.0 ELSE 0.3 END) *
+      (CASE WHEN sw > 0.01 AND sw < 0.6 THEN 1.0 ELSE 0.5 END) *
+      (CASE WHEN avg_word >= 2 AND avg_word <= 12 THEN 1.0 ELSE 0.4 END) * 1000) AS BIGINT) >= 501 AS q_ok,
+    (CASE WHEN n > 0 THEN ((n - dw) * 1000) // n ELSE 0 END) <= 500 AS r_ok
+  FROM gmetrics
+), s2 AS (
+  SELECT doc_id,
+         regexp_replace(
+           regexp_replace(text, 'https?://[^ \\t\\n]+', '[URL]', 'g'),
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+', '[EMAIL]', 'g') AS text
+  FROM flags WHERE q_ok AND r_ok
+), efp AS (
+  SELECT doc_id, text,
+         md5(array_to_string(list_transform(list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> ''), x -> lower(x)), ' ')) AS fp
+  FROM s2
+), s3 AS (
+  SELECT doc_id, text FROM efp
+  WHERE doc_id = (SELECT min(e2.doc_id) FROM efp e2 WHERE e2.fp = efp.fp)
+), paras AS (
+  SELECT doc_id, CAST(i - 1 AS BIGINT) AS para_idx,
+         array_to_string(ws[(i-1)*4+1:i*4], ' ') AS para
+  FROM (SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '') AS ws FROM s3),
+       unnest(generate_series(1, greatest(CAST(ceil(len(ws) / 4.0) AS BIGINT), 1))) AS t(i)
+  WHERE array_to_string(ws[(i-1)*4+1:i*4], ' ') <> ''
+), pkeep AS (
+  SELECT doc_id, para_idx, para,
+         row_number() OVER (PARTITION BY md5(lower(para)) ORDER BY doc_id, para_idx) = 1 AS keep
+  FROM paras
+), s4 AS (
+  SELECT doc_id, string_agg(para, ' ' ORDER BY para_idx) AS text
+  FROM pkeep WHERE keep GROUP BY doc_id
+), sh AS (
+  SELECT doc_id,
+         list_transform(generate_series(1, greatest(len(ws) - 2, 1)),
+                        i -> array_to_string(ws[i:(i+2)], ' ')) AS shingles
+  FROM (SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '') AS ws FROM s4)
+), sig AS (
+  SELECT doc_id,
+         list_transform(generate_series(0, 7),
+                        i -> list_min(list_transform(shingles,
+                               s -> substr(md5(CAST(i // 4 AS VARCHAR) || '|' || s), (i % 4) * 8 + 1, 8)))) AS sg
+  FROM sh
+), bands AS (
+  SELECT doc_id, unnest(
+    list_transform(generate_series(0, 3),
+                   b -> md5(CAST(b AS VARCHAR) || '#' || array_to_string(sg[(b*2+1):(b*2+2)], ',')))) AS band
+  FROM sig
+), pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id
+), e AS (
+  SELECT id_a AS s, id_b AS d FROM pairs UNION SELECT id_b, id_a FROM pairs
+), reach AS (
+  SELECT s, d FROM e
+  UNION
+  SELECT r.s, e3.d FROM reach r JOIN e AS e3 ON r.d = e3.s WHERE e3.d <> r.s
+), comp AS (
+  SELECT s AS doc_id, least(s, min(d)) AS comp FROM reach GROUP BY s
+), s5 AS (
+  SELECT s4.doc_id, s4.text FROM s4 LEFT JOIN comp ON s4.doc_id = comp.doc_id
+  WHERE comp.doc_id IS NULL OR comp.comp = s4.doc_id
+), evs AS (
+  SELECT DISTINCT unnest(list_distinct(
+    list_transform(generate_series(1, greatest(len(ws) - 2, 1)),
+                   i -> array_to_string(ws[i:(i+2)], ' ')))) AS s
+  FROM (SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '') AS ws
+        FROM doc_text WHERE CAST(doc_id AS BIGINT) % 11 = 0)
+), dsh AS (
+  SELECT doc_id, text, list_distinct(
+    list_transform(generate_series(1, greatest(len(ws) - 2, 1)),
+                   i -> array_to_string(ws[i:(i+2)], ' '))) AS shs
+  FROM (SELECT doc_id, text, list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '') AS ws FROM s5)
+), hits AS (
+  SELECT d.doc_id, count(*) AS h
+  FROM (SELECT doc_id, unnest(shs) AS s FROM dsh) d JOIN evs USING (s) GROUP BY d.doc_id
+), s6 AS (
+  SELECT dsh.doc_id, dsh.text FROM dsh LEFT JOIN hits USING (doc_id)
+  WHERE NOT (len(shs) > 0 AND (coalesce(h, 0) * 1000) // len(shs) >= 500)
+), langm AS (
+  SELECT doc_id, text,
+         length(regexp_replace(text, '[^一-鿿]', '', 'g')) > 0 AS zh,
+         len(list_filter(ws, x -> list_contains(['der','die','das','und','nicht','ist'], x))) AS de,
+         len(list_filter(ws, x -> list_contains(['el','la','los','que','de','es'], x))) AS es,
+         len(list_filter(ws, x -> list_contains(['le','la','les','et','est','une'], x))) AS fr
+  FROM (SELECT doc_id, text, list_transform(list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> ''), x -> lower(x)) AS ws FROM s6)
+), s7 AS (
+  SELECT doc_id FROM (
+    SELECT doc_id,
+      CASE WHEN zh THEN 'zh'
+           WHEN de > 0 AND de >= es AND de >= fr THEN 'de'
+           WHEN es > 0 AND es >= fr THEN 'es'
+           WHEN fr > 0 THEN 'fr' ELSE 'en' END AS stratum,
+      CAST(CAST(('0x' || substr(md5(doc_id), 1, 6)) AS BIGINT) % 1000 AS BIGINT) AS bucket
+    FROM langm)
+  WHERE bucket < CASE stratum WHEN 'en' THEN 300 WHEN 'zh' THEN 1000 ELSE 500 END
+)
+SELECT * FROM (
+  SELECT CAST(0 AS BIGINT) AS stage_idx, 'input' AS stage, count(*) AS n_docs FROM doc_text
+  UNION ALL SELECT 1, 'quality_gate', count(*) FROM flags WHERE q_ok
+  UNION ALL SELECT 2, 'repetition_gate', count(*) FROM flags WHERE q_ok AND r_ok
+  UNION ALL SELECT 3, 'exact_dedup', count(*) FROM s3
+  UNION ALL SELECT 4, 'paragraph_dedup', count(*) FROM s4
+  UNION ALL SELECT 5, 'neardup_dedup', count(*) FROM s5
+  UNION ALL SELECT 6, 'decontam', count(*) FROM s6
+  UNION ALL SELECT 7, 'stratified_sample', count(*) FROM s7
+) ORDER BY stage_idx
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -1774,6 +1915,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q45_para_dedup": q_para_dedup,
         "q46_stratified_sample": q_stratified_sample,
         "q47_neardup_clusters": q_neardup_clusters,
+        "q48_corpus_pipeline": q_corpus_pipeline,
     }
 
 
@@ -1831,6 +1973,13 @@ def oracle_sql() -> dict[str, str]:
         # DuckDB a missing path (ADVICE r2)
         **(
             {"q30_extract_flagship": _sql_flagship_fixture()}
+            if os.path.exists(_flagship_fixture_path())
+            else {}
+        ),
+        # q48 replays the composed pipeline from the same fixture; at any
+        # other sf_dir degrade to the rows-only check like q30
+        **(
+            {"q48_corpus_pipeline": _sql_corpus_pipeline()}
             if os.path.exists(_flagship_fixture_path())
             else {}
         ),
