@@ -62,6 +62,8 @@ BENCH_QUERIES = [
     "q43_pii_scrub",
     "q44_decontam",
     "q45_para_dedup",
+    "q49_substring_dedup",
+    "q50_model_quality",
 ]
 
 

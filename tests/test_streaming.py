@@ -110,3 +110,50 @@ def test_incremental_extraction_into_merge_sink(spark, tmp_path):
     run_once()
     assert rows() == _expected(0, 60)
     assert sink.read().count() == len(_expected(0, 60))  # multiset equality
+
+
+def test_streaming_content_dedup_rejects_mutated_replay(spark, tmp_path):
+    """In-flight content dedup (round-4 verdict item 7): a batch
+    re-collected under NEW doc_ids (same span content) must be rejected
+    by the content-fingerprint guard before extraction — the merge key
+    alone cannot see it. Genuinely new docs in the same trigger pass."""
+    from xhs_ocr_spark.extraction.checkpointed import make_span_sink
+    from xhs_ocr_spark.streaming import incremental_extraction_dedup_to_sink
+
+    tmp = str(tmp_path)
+    os.makedirs(f"{tmp}/in", exist_ok=True)
+    _write_docs(spark, tmp, 0, 30, "batch0")
+    sink = make_span_sink(spark, f"{tmp}/table", n_buckets=8)
+
+    def run_once():
+        q = (
+            incremental_extraction_dedup_to_sink(
+                spark, f"{tmp}/in/*", sink, f"{tmp}/ck"
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    run_once()
+    assert {
+        (r["doc_id"], r["kind"], r["text"], r["media_ref"], r["order"])
+        for r in sink.read().collect()
+    } == _expected(0, 30)
+
+    # batch1 = docs 0..10 MUTATED to new ids (a re-scrape) + new docs 30..40
+    mutated = (
+        spark.read.parquet(f"{tmp}/in/batch0")
+        .where(F.col("doc_id") < "doc-00000010")  # ids are zero-padded strings
+        .withColumn("doc_id", F.concat(F.lit("dup_"), F.col("doc_id")))
+    )
+    mutated.coalesce(1).write.mode("overwrite").parquet(f"{tmp}/in/batch1")
+    _write_docs(spark, tmp, 30, 40, "batch2")
+    run_once()
+
+    got = {
+        (r["doc_id"], r["kind"], r["text"], r["media_ref"], r["order"])
+        for r in sink.read().collect()
+    }
+    assert got == _expected(0, 40)  # new docs landed...
+    assert not any(d.startswith("dup_") for d, *_ in got)  # ...mutated replay rejected

@@ -720,6 +720,97 @@ def paragraph_dedup_rebuild(
     )
 
 
+def substring_windows(text_col, k: int = 8):
+    """All k-token sliding windows (stride 1) of the casefolded token
+    stream, as array<string>; empty below k tokens. The sliding-window
+    fingerprint approximation of suffix-array substring dedup — stride 1
+    is what makes a duplicated span detectable at ANY alignment (q45's
+    aligned 4-word paragraphs miss a quote starting mid-paragraph)."""
+    ws = F.transform(words(text_col), F.lower)
+    n = F.size(ws)
+    win = F.transform(
+        F.sequence(F.lit(1), n - F.lit(k - 1)),
+        lambda i: F.concat_ws(" ", F.slice(ws, i, k)),
+    )
+    return F.when(n >= k, win).otherwise(F.array().cast("array<string>"))
+
+
+def substring_dedup_stats(
+    df: DataFrame, id_col: str, text_col: str, k: int = 8
+) -> DataFrame:
+    """Cross-document duplicate-SPAN detection (the last standard
+    training-data dedup primitive, round-4 verdict item 5): a k-token
+    window whose fingerprint occurred earlier in the corpus — in another
+    document, or earlier in the same one — is a duplicate span; every
+    token position it covers is flagged. First occurrence is the corpus
+    order (doc_id, window_index), so a doc quoting another mid-paragraph
+    is flagged in exactly one of the two (the later doc).
+
+    Returns one row per document:
+    (doc_id, n_tokens, n_dup_tokens, dup_ratio_x1000) — all bigint,
+    n_dup_tokens = distinct token positions covered by duplicate windows
+    (a removal pass drops exactly those tokens).
+
+    Scale shape: windows explode to (id, win_idx, fp) rows — O(n_tokens)
+    per doc, k x chars amplification paid in-expression (the suffix-array
+    equivalent materializes the same order of state); first-occurrence is
+    groupBy(fp) + min(struct) — partial aggregation collapses a
+    boilerplate window repeated 10^9 times map-side, never a window
+    function over the hot fingerprint; covered positions stream out of a
+    bounded explode (k per duplicate window). Fingerprints are
+    xxhash64(window) — engine-side longs; the DuckDB twin uses md5. Both
+    are collision-free partitions of the same window strings, and ONLY
+    group equality reaches the output, so the results agree bit-for-bit
+    without a portable hash (unlike q24-q27, nothing hash-valued is
+    emitted)."""
+    parts = df.sparkSession.sparkContext.defaultParallelism * 2
+    base = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__text"))
+    w = (
+        base.repartition(parts, "id")
+        .select(
+            "id",
+            F.posexplode(substring_windows(F.col("__text"), k)).alias(
+                "win_idx", "win"
+            ),
+        )
+        .select("id", "win_idx", F.xxhash64("win").alias("fp"))
+        .repartition(parts, "fp")
+    )
+    first = w.groupBy("fp").agg(F.min(F.struct("id", "win_idx")).alias("first_occ"))
+    dup = w.join(first, "fp").where(
+        ~(
+            (F.col("id") == F.col("first_occ.id"))
+            & (F.col("win_idx") == F.col("first_occ.win_idx"))
+        )
+    )
+    covered = (
+        dup.select(
+            "id",
+            F.explode(
+                F.sequence(F.col("win_idx"), F.col("win_idx") + F.lit(k - 1))
+            ).alias("pos"),
+        )
+        .distinct()
+        .groupBy("id")
+        .agg(F.count("*").alias("n_dup_tokens"))
+    )
+    sizes = df.select(
+        F.col(id_col).alias("id"),
+        F.size(words(F.col(text_col))).cast("long").alias("n_tokens"),
+    )
+    return sizes.join(covered, "id", "left").select(
+        "id",
+        "n_tokens",
+        F.coalesce(F.col("n_dup_tokens"), F.lit(0)).cast("long").alias("n_dup_tokens"),
+        # coalesce INSIDE the expr: this projection sees the join's
+        # nullable n_dup_tokens, not the aliased sibling column
+        F.expr(
+            "CAST(CASE WHEN n_tokens > 0 THEN (coalesce(n_dup_tokens, 0) * 1000) "
+            "DIV n_tokens ELSE 0 END AS BIGINT)"
+        ).alias("dup_ratio_x1000"),
+    )
+
+
 def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Exact dedup via fingerprint groupBy: groups with >1 member,
     returning (fingerprint, n_dups, keep_id = min id)."""

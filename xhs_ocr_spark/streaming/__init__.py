@@ -1,6 +1,7 @@
 """Structured Streaming surface."""
 
 from .incremental import (  # noqa: F401
+    incremental_extraction_dedup_to_sink,
     incremental_extraction_stream,
     incremental_extraction_to_sink,
     streaming_dedup_within_watermark,
