@@ -215,6 +215,13 @@ def main() -> None:
     # artifact shows what happened. Bands persist for minutes, so retries
     # wait before remeasuring.
     cal_threshold = float(os.environ.get("BENCH_CAL_THRESHOLD", "0.17"))
+    # the multi-core band moves INDEPENDENTLY of the single-core band
+    # (documented: two fast-single-core passes recorded 18.8k vs 15.4k
+    # docs/s; a "fast" r05 builder pass with cal_mc 0.204 read q27 at
+    # 5.4s vs 2.7s on a true fast band) — so the fast-band certificate
+    # requires BOTH: flanking single-core cals <= threshold AND the
+    # 8-proc cal_mc <= its own threshold (fast ~0.11-0.15).
+    cal_mc_threshold = float(os.environ.get("BENCH_CAL_MC_THRESHOLD", "0.16"))
     max_attempts = int(os.environ.get("BENCH_BAND_RETRIES", "3"))
     attempts: list[dict] = []
     best = None
@@ -224,10 +231,11 @@ def main() -> None:
         a_pre = vm_calibration_sec()
         result = timed_section()
         a_post = vm_calibration_sec()
+        a_mc = vm_calibration_mc_sec()
         rec = {
             "cal_pre": a_pre,
             "cal_post": a_post,
-            "cal_mc": vm_calibration_mc_sec(),
+            "cal_mc": a_mc,
             "docs_per_sec": round(result["docs_per_sec"], 2),
             # per-attempt per-query timings: a band artifact on ONE query
             # (the r04 q27 "regression") is visible against the other
@@ -237,7 +245,11 @@ def main() -> None:
         attempts.append(rec)
         if best is None or result["docs_per_sec"] > best[0]["docs_per_sec"]:
             best = (result, attempt)
-        if a_pre <= cal_threshold and a_post <= cal_threshold:
+        if (
+            a_pre <= cal_threshold
+            and a_post <= cal_threshold
+            and a_mc <= cal_mc_threshold
+        ):
             best = (result, attempt)  # fast-band attempt wins outright
             band = "fast"
             break

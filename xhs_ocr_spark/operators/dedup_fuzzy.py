@@ -963,17 +963,30 @@ def ngram_jaccard_pairs(
             "dropped; run ngram_df_drop_stats(...) for the audited count.",
             max_df,
         )
-    # few shards for this path: postings are capped at max_df anyway
-    # (per-row bound max_df / n_shards), and millions of SMALL postings
-    # pay the shard-pair fan-out per posting — n_shards=4 measured ~20%
-    # faster than 16 at sf0.1 with identical output. Uncapped postings
-    # (max_df=None) keep the full-width guard.
-    inter = sharded_bucket_pairs(
-        ex,
-        group_keys,
-        n_shards=4 if max_df is not None else DEFAULT_SHARDS,
-        max_total=max_df,
-    ).groupBy("id_a", "id_b").agg(F.count("*").alias("inter"))
+    # Route choice (measured at sf0.1: 108k postings, max posting 14,
+    # 456k pair occurrences): the sharded machinery (window sum +
+    # aggregated-shard self-join + spread exchange) exists to bound
+    # per-row state for UNBOUNDED buckets, but with max_df enforced the
+    # collect_set row is bounded by max_df by construction (the max_df
+    # filter is exact on the set size: index rows are distinct (id, sh)
+    # pairs) — so the direct groupBy + size-filter + guarded expansion
+    # route produces the identical pair multiset with ONE shuffle and no
+    # join, ~2x faster on real Zipfian postings where almost every
+    # posting is small. max_df=None (unbounded postings) keeps the
+    # full sharded guard.
+    if max_df is not None:
+        buckets = (
+            ex.groupBy(*group_keys)
+            .agg(F.sort_array(F.collect_set("id")).alias("ids"))
+            .where(F.size("ids") <= max_df)
+        )
+        # spread=False: posting rows are already spread across tasks by
+        # the aggregate exchange; the anchor exchange would move
+        # O(|posting|) array copies per anchor for no placement gain
+        pair_rows = expand_bucket_pairs(buckets, cap=bucket_cap, spread=False)
+    else:
+        pair_rows = sharded_bucket_pairs(ex, group_keys, n_shards=DEFAULT_SHARDS)
+    inter = pair_rows.groupBy("id_a", "id_b").agg(F.count("*").alias("inter"))
     out = (
         inter.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
         .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
