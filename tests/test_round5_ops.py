@@ -389,3 +389,119 @@ def test_model_scoring_deterministic_and_vectorized(spark):
     assert got["1"][1] == 1 and got["1"][0] > 0
     assert got["2"][1] == 0 and got["2"][0] < 0
     assert got["3"] == (-2000, 0)
+
+
+# ---------------------------------------------------------------------------
+# q51 token-budget selection
+# ---------------------------------------------------------------------------
+
+
+def test_token_budget_exact_prefix(spark):
+    from xhs_ocr_spark.operators.selection import token_budget_select
+
+    rows = [Row(id=i, score=(i % 3) * 100, tokens=10 + i) for i in range(30)]
+    df = spark.createDataFrame(rows)
+    got = token_budget_select(df, "id", "score", "tokens", budget=150, n_shards=4)
+    out = {r["id"]: r["cum_tokens"] for r in got.collect()}
+
+    # independent truth: sort by (score desc, shard, id), prefix-sum
+    import hashlib
+
+    def shard(i):
+        return (int(hashlib.md5(str(i).encode()).hexdigest()[:6], 16) % 1000) % 4
+
+    order = sorted(rows, key=lambda r: (-r["score"], shard(r["id"]), r["id"]))
+    cum, expect = 0, {}
+    for r in order:
+        cum += r["tokens"]
+        if cum <= 150:
+            expect[r["id"]] = cum
+    assert out == expect and len(expect) > 0
+
+
+def test_token_budget_full_and_zero(spark):
+    from xhs_ocr_spark.operators.selection import token_budget_select
+
+    df = spark.createDataFrame([Row(id=i, score=1, tokens=5) for i in range(10)])
+    assert token_budget_select(df, "id", "score", "tokens", budget=10**9).count() == 10
+    assert token_budget_select(df, "id", "score", "tokens", budget=4).count() == 0
+
+
+def test_token_budget_no_unbounded_row_window(spark):
+    """The plan must not sort the full input in a single-partition window:
+    every Window over the row-level frame must be partitioned."""
+    from xhs_ocr_spark.operators.selection import token_budget_select
+
+    df = spark.createDataFrame([Row(id=i, score=i % 2, tokens=3) for i in range(50)])
+    got = token_budget_select(df, "id", "score", "tokens", budget=60)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    # windows over the row frame carry a partition spec (score, _shard);
+    # the only unpartitioned window is over the bounded aggregate, whose
+    # input is post-groupBy (HashAggregate appears below it in the plan).
+    wins = re.findall(r"Window \[[^\]]*\](?:, \[([^\]]*)\])?", plan)
+    assert len([w for w in wins if w]) >= 1  # partitioned per-row window present
+
+
+# ---------------------------------------------------------------------------
+# q52 incremental dedup
+# ---------------------------------------------------------------------------
+
+
+def test_incremental_dedup_statuses(spark):
+    base = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+        "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    )
+    corpus = _docs(spark, [(1, base), (2, "one two three four five six seven eight")])
+    new = _docs(
+        spark,
+        [
+            (10, base),                      # exact copy -> exact
+            (11, base + " extraword"),       # tail-extended -> near (bands survive)
+            (12, "zz yy xx ww vv uu tt ss"), # disjoint -> new
+        ],
+    )
+    got = dict(
+        DF.incremental_dedup_status(new, corpus, "doc_id", "text")
+        .select("id", "status")
+        .collect()
+    )
+    assert got == {10: "exact", 11: "near", 12: "new"}
+
+
+def test_incremental_dedup_exact_wins_over_near(spark):
+    txt = "red green blue cyan magenta yellow black white gray pink"
+    corpus = _docs(spark, [(1, txt)])
+    new = _docs(spark, [(20, txt)])
+    got = DF.incremental_dedup_status(new, corpus, "doc_id", "text").collect()
+    assert [(r["id"], r["status"]) for r in got] == [(20, "exact")]
+
+
+# ---------------------------------------------------------------------------
+# q53 domain-mix resampling
+# ---------------------------------------------------------------------------
+
+
+def test_mix_resample_rates_exact(spark):
+    from xhs_ocr_spark.operators.selection import mix_resample
+
+    rows = [Row(id=i, dom="en" if i < 80 else ("zh" if i < 95 else "de")) for i in range(100)]
+    df = spark.createDataFrame(rows)
+    targets = {"en": 500, "zh": 300, "de": 200}
+    got = mix_resample(df, "id", "dom", targets)
+    # n: en 80, zh 15, de 5 -> caps: en 160, zh 50, de 25 -> M=25
+    # desired: en 12, zh 7, de 5 -> rates: en 150, zh 466, de 1000
+    rates = {r["dom"]: r["rate_x1000"] for r in got.select("dom", "rate_x1000").distinct().collect()}
+    assert rates == {"en": 150, "zh": 466, "de": 1000}
+    # gate honored: every surviving bucket < its rate
+    assert got.where(F.col("bucket_x1000") >= F.col("rate_x1000")).count() == 0
+
+
+def test_mix_resample_unknown_domain_dropped(spark):
+    from xhs_ocr_spark.operators.selection import mix_resample
+
+    df = spark.createDataFrame([Row(id=1, dom="en"), Row(id=2, dom="xx")])
+    got = mix_resample(df, "id", "dom", {"en": 1000})
+    assert {r["dom"] for r in got.collect()} == {"en"}

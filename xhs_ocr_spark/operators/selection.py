@@ -1,0 +1,159 @@
+"""Corpus-selection operators: token-budget selection and domain-mix
+resampling — the "assemble the training mix" stage that follows
+filtering/dedup in a large-scale data pipeline.
+
+Both are deterministic, integer-exact (bigint/string outputs only) and
+have DuckDB oracle twins in queries.py. Neither has a reference
+counterpart (the reference extracts and syncs; it does not select) —
+these widen the LLM-pipeline surface the same way dedup/ANN do.
+
+Scale notes (the design constraint, not an afterthought):
+
+* ``token_budget_select`` is the classic "take the best documents until
+  the token budget is spent" — a global cumulative sum over a total
+  order. The naive form (one unpartitioned window over all rows) is a
+  single-task sort of the whole corpus and dies at 10^12 rows. This
+  implementation is the two-level form: rows are bucketed into
+  (score, shard) groups; per-group token totals are aggregated (bounded
+  cardinality: |distinct scores| x n_shards, independent of row count);
+  group prefix-offsets are computed with a window over THAT bounded
+  aggregate; each row then needs only a cumulative sum WITHIN its own
+  bounded (score, shard) partition plus its group's offset. No task
+  ever sees more than ~N / (|scores| x n_shards) rows, and the only
+  unpartitioned window runs over the tiny aggregate.
+
+* ``mix_resample`` computes per-domain acceptance rates from the data
+  (two tiny aggregates, broadcast back) and gates rows with the same
+  md5-bucket used by stratified_sample — a narrow scan-speed filter
+  after one broadcast hash join against a |domains|-row dimension.
+  No collect(): the rate table stays a DataFrame end-to-end.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+from pyspark.sql.window import Window
+
+from .textops import sample_bucket_x1000
+
+
+def token_budget_select(
+    df: DataFrame,
+    id_col: str,
+    score_col: str,
+    tokens_col: str,
+    budget: int,
+    n_shards: int = 64,
+) -> DataFrame:
+    """Select rows in (score DESC, shard ASC, id ASC) order until the
+    cumulative token count exceeds ``budget`` (a row is kept iff its
+    cumulative sum INCLUDING itself is <= budget).
+
+    The global order is total (id is unique within a shard), so the
+    selected set — and the emitted ``cum_tokens`` — are exact and
+    engine-portable: the DuckDB twin is a plain
+    ``SUM() OVER (ORDER BY score DESC, shard, id)``.
+
+    Returns (id, score, tokens, cum_tokens) for selected rows, column
+    names preserved from the input.
+    """
+    shard = (sample_bucket_x1000(F.col(id_col)) % n_shards).alias("_shard")
+    base = df.select(
+        F.col(id_col), F.col(score_col), F.col(tokens_col), shard
+    )
+
+    # Per-(score, shard) totals: bounded cardinality regardless of |df|.
+    grp = base.groupBy(score_col, "_shard").agg(
+        F.sum(tokens_col).alias("_grp_tokens")
+    )
+
+    # Prefix offset of each group in the global order. The window is
+    # unpartitioned BY DESIGN: it runs over the bounded aggregate
+    # (|scores| x n_shards rows), not over the corpus.
+    w_off = (
+        Window.orderBy(F.desc(score_col), F.asc("_shard"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = grp.select(
+        score_col,
+        "_shard",
+        F.coalesce(F.sum("_grp_tokens").over(w_off), F.lit(0)).alias("_grp_offset"),
+    )
+
+    # Early prune: groups whose offset already exceeds the budget can't
+    # contribute rows — drop their rows before the per-row window.
+    offsets = offsets.where(F.col("_grp_offset") < F.lit(int(budget)))
+
+    # Within-group running sum: each (score, shard) partition is bounded.
+    w_in = (
+        Window.partitionBy(score_col, "_shard")
+        .orderBy(F.asc(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    joined = base.join(F.broadcast(offsets), [score_col, "_shard"])
+    out = joined.withColumn(
+        "cum_tokens",
+        (F.col("_grp_offset") + F.sum(tokens_col).over(w_in)).cast("long"),
+    )
+    return out.where(F.col("cum_tokens") <= F.lit(int(budget))).select(
+        id_col, score_col, tokens_col, "cum_tokens"
+    )
+
+
+def mix_resample(
+    df: DataFrame,
+    id_col: str,
+    domain_col: str,
+    targets_x1000: dict[str, int],
+) -> DataFrame:
+    """Resample a corpus to a target domain mix (e.g. en 40%, zh 20%...)
+    with deterministic md5-gate membership.
+
+    The feasible scaled total is M = min over domains of
+    floor(n_d * 1000 / t_d) — the largest corpus size at which every
+    domain can meet its target share without upsampling. Each domain's
+    desired count is d = floor(M * t_d / 1000) and its acceptance rate
+    is min(1000, floor(d * 1000 / n_d)) per-mille. All integer
+    arithmetic, so Spark and DuckDB agree bit-for-bit.
+
+    Domains absent from ``targets_x1000`` (or with target 0) are
+    dropped. Returns (id, domain, n_domain, rate_x1000, bucket_x1000)
+    for surviving rows.
+    """
+    target = F.lit(0)
+    for k in sorted(targets_x1000):  # deterministic CASE order
+        target = F.when(
+            F.col(domain_col) == k, F.lit(int(targets_x1000[k]))
+        ).otherwise(target)
+
+    counts = (
+        df.groupBy(domain_col)
+        .agg(F.count(F.lit(1)).alias("n_domain"))
+        .withColumn("t_x1000", target)
+        .where(F.col("t_x1000") > 0)
+    )
+    # M = min over domains of (n_d * 1000) DIV t_d  — a 1-row aggregate
+    # of a |domains|-row frame, cross-broadcast back.
+    m_total = counts.select(
+        F.expr("min((n_domain * 1000) DIV t_x1000)").alias("_m_total")
+    )
+    rates = (
+        counts.crossJoin(F.broadcast(m_total))
+        .withColumn("_desired", F.expr("(_m_total * t_x1000) DIV 1000"))
+        .select(
+            domain_col,
+            "n_domain",
+            F.least(F.lit(1000), F.expr("(_desired * 1000) DIV n_domain"))
+            .cast("long")
+            .alias("rate_x1000"),
+        )
+    )
+    out = df.select(
+        F.col(id_col),
+        F.col(domain_col),
+        sample_bucket_x1000(F.col(id_col)).alias("bucket_x1000"),
+    ).join(F.broadcast(rates), domain_col)
+    return out.where(F.col("bucket_x1000") < F.col("rate_x1000")).select(
+        id_col, domain_col, "n_domain", "rate_x1000", "bucket_x1000"
+    )

@@ -23,6 +23,7 @@ from .extraction.datagen import corpus_from_documents
 from .extraction.pipeline import extract_spans_flat
 from .operators import dedup_first_wins, dedup_last_wins, related_merge, unrelated_merge
 from .operators import dedup_fuzzy as DF
+from .operators import selection as SEL
 from .operators import simsearch as SS
 from .operators import textops as TX
 
@@ -1185,6 +1186,146 @@ FROM m
 """
 
 
+def q_token_budget(spark, sf):
+    """q51: token-budget corpus selection — take the highest-quality
+    documents in a deterministic total order (quality DESC, md5-shard,
+    doc_id) until a token budget is spent. The distributed shape is the
+    two-level cumulative sum in selection.token_budget_select: the only
+    unpartitioned window runs over a bounded (score x shard) aggregate,
+    never over the corpus (a naive global-window cumsum is a
+    single-task sort at 10^12 rows)."""
+    d = _t(spark, sf, "documents")
+    scored = d.select(
+        "doc_id",
+        TX.quality_score(F.col("text")).alias("quality_x1000"),
+        TX.token_count(F.col("text")).cast("long").alias("n_tokens"),
+    )
+    return SEL.token_budget_select(
+        scored, "doc_id", "quality_x1000", "n_tokens", budget=10_000
+    )
+
+
+SQL_TOKEN_BUDGET = r"""
+WITH w AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS ws FROM documents
+), m AS (
+  SELECT doc_id, len(ws) AS n,
+         len(list_filter(ws, x -> list_contains(['the','a','an','and','or','of','to','in','is','it'], lower(x)))) / CAST(len(ws) AS DOUBLE) AS sw,
+         list_sum(list_transform(ws, x -> length(x))) / CAST(len(ws) AS DOUBLE) AS avg_word
+  FROM w
+), s AS (
+  SELECT doc_id,
+    CAST(round(
+      (CASE WHEN n BETWEEN 10 AND 1000 THEN 1.0 ELSE 0.3 END) *
+      (CASE WHEN sw > 0.01 AND sw < 0.6 THEN 1.0 ELSE 0.5 END) *
+      (CASE WHEN avg_word >= 2 AND avg_word <= 12 THEN 1.0 ELSE 0.4 END) * 1000
+    ) AS BIGINT) AS quality_x1000,
+    CAST(n AS BIGINT) AS n_tokens,
+    (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6)) AS BIGINT) % 1000) % 64 AS shard
+  FROM m
+), c AS (
+  SELECT doc_id, quality_x1000, n_tokens,
+         SUM(n_tokens) OVER (ORDER BY quality_x1000 DESC, shard ASC, doc_id ASC
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM s
+)
+SELECT doc_id, quality_x1000, n_tokens, CAST(cum AS BIGINT) AS cum_tokens
+FROM c WHERE cum <= 10000
+"""
+
+
+def q_incremental_dedup(spark, sf):
+    """q52: incremental dedup of an incoming batch against an existing
+    corpus index — every 10th document stands in for today's delta, the
+    rest for the already-indexed corpus. Status per incoming doc:
+    'exact' (fingerprint already present), 'near' (>=1 MinHash LSH band
+    collision), else 'new'. The steady-state production shape: O(batch
+    + index probes), never re-pairing the whole corpus."""
+    d = _t(spark, sf, "documents")
+    new = d.where(F.col("doc_id") % 10 == 0)
+    corpus = d.where(F.col("doc_id") % 10 != 0)
+    return DF.incremental_dedup_status(
+        new, corpus, "doc_id", "text"
+    ).withColumnRenamed("id", "doc_id")
+
+
+SQL_INCREMENTAL_DEDUP = r"""
+WITH w AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS ws FROM documents
+), fp AS (
+  SELECT doc_id, md5(array_to_string(list_transform(ws, x -> lower(x)), ' ')) AS fp FROM w
+), sh AS (
+  SELECT doc_id,
+         list_transform(generate_series(1, greatest(len(ws) - 2, 1)),
+                        i -> array_to_string(ws[i:(i+2)], ' ')) AS shingles
+  FROM w
+), sig AS (
+  SELECT doc_id,
+         list_transform(generate_series(0, 7),
+                        i -> list_min(list_transform(shingles,
+                               s -> substr(md5(CAST(i // 4 AS VARCHAR) || '|' || s), (i % 4) * 8 + 1, 8)))) AS sg
+  FROM sh
+), bands AS (
+  SELECT doc_id, unnest(
+    list_transform(generate_series(0, 3),
+                   b -> md5(CAST(b AS VARCHAR) || '#' || array_to_string(sg[(b*2+1):(b*2+2)], ',')))) AS band
+  FROM sig
+), exact AS (
+  SELECT DISTINCT n.doc_id FROM fp n JOIN fp c ON n.fp = c.fp
+  WHERE n.doc_id % 10 = 0 AND c.doc_id % 10 <> 0
+), near AS (
+  SELECT DISTINCT n.doc_id FROM bands n JOIN bands c ON n.band = c.band
+  WHERE n.doc_id % 10 = 0 AND c.doc_id % 10 <> 0
+)
+SELECT w.doc_id,
+       CASE WHEN e.doc_id IS NOT NULL THEN 'exact'
+            WHEN nr.doc_id IS NOT NULL THEN 'near'
+            ELSE 'new' END AS status
+FROM w LEFT JOIN exact e ON w.doc_id = e.doc_id
+       LEFT JOIN near nr ON w.doc_id = nr.doc_id
+WHERE w.doc_id % 10 = 0
+"""
+
+
+def q_mix_resample(spark, sf):
+    """q53: domain-mix resampling — downsample each language to hit a
+    target mix (en 40%, zh 20%, de 15%, es 15%, fr 10%) at the largest
+    feasible total, with deterministic md5-gate membership. Rates are
+    derived from the data via two tiny broadcast aggregates (no
+    collect); the row filter is a narrow scan-speed gate."""
+    d = _t(spark, sf, "documents")
+    return SEL.mix_resample(
+        d,
+        "doc_id",
+        "lang",
+        targets_x1000={"en": 400, "zh": 200, "de": 150, "es": 150, "fr": 100},
+    )
+
+
+SQL_MIX_RESAMPLE = r"""
+WITH c AS (
+  SELECT lang, count(*) AS n_domain,
+         CASE lang WHEN 'en' THEN 400 WHEN 'zh' THEN 200 WHEN 'de' THEN 150
+                   WHEN 'es' THEN 150 WHEN 'fr' THEN 100 ELSE 0 END AS t
+  FROM documents GROUP BY lang
+), c2 AS (
+  SELECT * FROM c WHERE t > 0
+), m AS (
+  SELECT min((n_domain * 1000) // t) AS m_total FROM c2
+), r AS (
+  SELECT lang, n_domain,
+         least(1000, (((m_total * t) // 1000) * 1000) // n_domain) AS rate_x1000
+  FROM c2, m
+)
+SELECT d.doc_id, d.lang,
+       CAST(r.n_domain AS BIGINT) AS n_domain,
+       CAST(r.rate_x1000 AS BIGINT) AS rate_x1000,
+       CAST(CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 6)) AS BIGINT) % 1000 AS BIGINT) AS bucket_x1000
+FROM documents d JOIN r USING (lang)
+WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 6)) AS BIGINT) % 1000 < r.rate_x1000
+"""
+
+
 def q_corpus_pipeline(spark, sf):
     """q48: the full LLM-corpus pipeline composed end-to-end (round-4
     verdict item 1) — extraction (q30 path) -> quality -> repetition ->
@@ -1989,6 +2130,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q48_corpus_pipeline": q_corpus_pipeline,
         "q49_substring_dedup": q_substring_dedup,
         "q50_model_quality": q_model_quality,
+        "q51_token_budget": q_token_budget,
+        "q52_incremental_dedup": q_incremental_dedup,
+        "q53_mix_resample": q_mix_resample,
     }
 
 
@@ -2041,6 +2185,9 @@ def oracle_sql() -> dict[str, str]:
         "q47_neardup_clusters": SQL_NEARDUP_CLUSTERS,
         "q49_substring_dedup": SQL_SUBSTRING_DEDUP,
         "q50_model_quality": SQL_MODEL_QUALITY,
+        "q51_token_budget": SQL_TOKEN_BUDGET,
+        "q52_incremental_dedup": SQL_INCREMENTAL_DEDUP,
+        "q53_mix_resample": SQL_MIX_RESAMPLE,
         # q30: expected output precomputed by the shared pure-Python
         # semantics into a parquet fixture (scripts/build_fixtures.py) —
         # committed only for the oracle scales (sf0.001/sf0.01); at any
