@@ -174,6 +174,52 @@ def main() -> None:
         ],
     )
 
+    audit(
+        "q51_token_budget",
+        Q.queries()["q51_token_budget"](spark, SF),
+        [
+            # two-level cumsum: group totals partially aggregate map-side,
+            # the tiny offsets frame broadcasts back to the rows, and the
+            # per-row window is PARTITIONED (by score+shard) — the
+            # single-task global-sort window shape must never appear
+            ("group totals partially aggregated", r"partial_sum", True),
+            ("offsets broadcast to rows", r"BroadcastHashJoin", True),
+            # the per-row Window prints Arguments: [exprs], [PARTITION
+            # SPEC], [order spec] — a partition bracket containing _shard
+            # followed by an order bracket is the partitioned form (the
+            # unpartitioned offsets window over the tiny aggregate ends
+            # at its order bracket)
+            ("per-row window partitioned by shard", r"\], \[[^\]]*_shard[^\]]*\], \[", True),
+            ("no sort-merge join", r"SortMergeJoin", False),
+            ("no python anywhere", r"EvalPython|MapInPandas", False),
+        ],
+    )
+    audit(
+        "q52_incremental_dedup",
+        Q.queries()["q52_incremental_dedup"](spark, SF),
+        [
+            # signature md5 work staged behind an id exchange once per
+            # side (inlining guard); index probes are equi-joins — join
+            # STRATEGY is left to the planner (broadcast at small scale,
+            # shuffle at corpus scale), but nothing quadratic or python
+            ("signature staging exchange present", r"REPARTITION", True),
+            ("no nested loop / cartesian", r"NestedLoop|CartesianProduct", False),
+            ("no python anywhere", r"EvalPython|MapInPandas", False),
+        ],
+    )
+    audit(
+        "q53_mix_resample",
+        Q.queries()["q53_mix_resample"](spark, SF),
+        [
+            # domain counts partially aggregate map-side; the |domains|-row
+            # rate dim broadcasts; the row gate itself is a narrow filter
+            ("domain counts partially aggregated", r"partial_count", True),
+            ("rate dim broadcast to rows", r"BroadcastHashJoin", True),
+            ("no sort-merge join", r"SortMergeJoin", False),
+            ("no python anywhere", r"EvalPython|MapInPandas", False),
+        ],
+    )
+
     # bucketed MERGE sink: point lookup must partition-prune in BOTH
     # states — clean (base only) and merge-on-read (base + delta scans,
     # every file source pruned by the same bucket predicate)
