@@ -207,6 +207,21 @@ def main() -> None:
             ("no python anywhere", r"EvalPython|MapInPandas", False),
         ],
     )
+    for nm in ("q54_epoch_shuffle", "q55_pack_sequences"):
+        audit(
+            nm,
+            Q.queries()[nm](spark, SF),
+            [
+                # two-level cumsum shape (same contract as q51): bounded
+                # group aggregate, broadcast offsets, PARTITIONED per-row
+                # window — never a global-sort window over the corpus
+                ("group totals partially aggregated", r"partial_sum|partial_count", True),
+                ("offsets broadcast to rows", r"BroadcastHashJoin", True),
+                ("per-row window partitioned by group", r"\], \[[^\]]*_grp[^\]]*\], \[", True),
+                ("no sort-merge join", r"SortMergeJoin", False),
+                ("no python anywhere", r"EvalPython|MapInPandas", False),
+            ],
+        )
     audit(
         "q53_mix_resample",
         Q.queries()["q53_mix_resample"](spark, SF),

