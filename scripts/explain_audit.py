@@ -235,6 +235,21 @@ def main() -> None:
         ],
     )
 
+    audit(
+        "q56_tfidf_topk",
+        Q.queries()["q56_tfidf_topk"](spark, SF),
+        [
+            # tf and df tables aggregate map-side; the 1-row N aggregate
+            # broadcasts (it prints as a BroadcastNestedLoopJoin by
+            # construction — a 1-row cross, not a quadratic join, so no
+            # blanket no-nested-loop invariant here); the tf x df term
+            # join strategy is left to the planner
+            ("partial counts before shuffles", r"partial_count", True),
+            ("no python anywhere", r"EvalPython|MapInPandas", False),
+            ("no cartesian product", r"CartesianProduct", False),
+        ],
+    )
+
     # bucketed MERGE sink: point lookup must partition-prune in BOTH
     # states — clean (base only) and merge-on-read (base + delta scans,
     # every file source pruned by the same bucket predicate)

@@ -555,3 +555,31 @@ def test_pack_sequences_layout(spark):
     assert got == expect
     # stream fully covered: last sequence id matches total token count
     assert max(s for s, _ in got.values()) == (cum - rows[-1]["toks"] if False else max(expect.values())[0])
+
+
+def test_tfidf_topk_exact(spark):
+    from xhs_ocr_spark.operators.textops import tfidf_topk
+
+    docs = _docs(
+        spark,
+        [
+            (1, "apple apple banana common common common"),
+            (2, "banana cherry common common"),
+            (3, "apple cherry cherry common"),
+        ],
+    )
+    got = {
+        (r["id"], r["rank"]): (r["term"], r["score_x1000"])
+        for r in tfidf_topk(docs, "doc_id", "text", k=2).collect()
+    }
+    # N=3; df: apple 2, banana 2, cherry 2, common 3
+    # doc1: apple tf2 -> 2*1500=3000; common tf3 -> 3*1000=3000; banana 1500
+    #   rank: score 3000 tie -> term asc: apple, then common
+    assert got[(1, 1)] == ("apple", 3000)
+    assert got[(1, 2)] == ("common", 3000)
+    # doc2: common tf2 -> 2000; banana 1500; cherry 1500 -> banana by term asc
+    assert got[(2, 1)] == ("common", 2000)
+    assert got[(2, 2)] == ("banana", 1500)
+    # doc3: cherry tf2 -> 3000; apple 1500; common 1000
+    assert got[(3, 1)] == ("cherry", 3000)
+    assert got[(3, 2)] == ("apple", 1500)

@@ -167,3 +167,53 @@ def fingerprint(text: Column) -> Column:
     """Document fingerprint: md5 of casefolded, whitespace-normalized text.
     (Exact-dedup key; the rolling-hash variant is h64 of the same.)"""
     return F.md5(F.concat_ws(" ", F.transform(words(text), F.lower)))
+
+
+def tfidf_topk(df, id_col: str, text_col: str, k: int = 3):
+    """Per-document top-k salient terms by an integer-exact TF-IDF-style
+    score: score_x1000 = tf * ((N_docs * 1000) DIV df) — monotone in
+    tf/df, all integer arithmetic so the DuckDB twin matches
+    bit-for-bit (a float log-idf would make rank ties engine-dependent).
+
+    Scale shape: explode -> groupBy(doc, term) with map-side partial
+    counts (the tf table), term document-frequencies aggregated FROM the
+    tf table (one extra shuffle on term, input already deduped per doc),
+    N via a 1-row broadcast aggregate (collect-free), tf x df an
+    equi-join on term — strategy left to the planner (term dim is
+    corpus-sized; at scale it stays a shuffle join, never forced
+    broadcast) — then a per-doc window for top-k (bounded by the doc's
+    distinct terms). Ties broken by term ASC: total order, stable rank.
+    """
+    from pyspark.sql.window import Window
+
+    tf = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.explode(words(F.lower(F.col(text_col)))).alias("term"),
+        )
+        .groupBy("id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = df.select(
+        F.count(F.lit(1)).cast("long").alias("_n_docs")
+    )
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn("score_x1000", F.expr("tf * ((_n_docs * 1000) DIV df)"))
+    )
+    w = Window.partitionBy("id").orderBy(
+        F.desc("score_x1000"), F.asc("term")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select(
+            F.col("id"),
+            "term",
+            F.col("tf").cast("long").alias("tf"),
+            F.col("score_x1000").cast("long").alias("score_x1000"),
+            "rank",
+        )
+    )

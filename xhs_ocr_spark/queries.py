@@ -1378,6 +1378,40 @@ FROM c
 """
 
 
+def q_tfidf_topk(spark, sf):
+    """q56: per-document top-3 salient terms by integer-exact TF-IDF
+    (score = tf * ((N*1000) DIV df); float log-idf would make rank
+    ties engine-dependent). The corpus df table is aggregated from the
+    per-doc tf table; N is a 1-row broadcast aggregate (collect-free);
+    the per-doc top-k window is bounded by a doc's distinct terms."""
+    d = _t(spark, sf, "documents")
+    return TX.tfidf_topk(d, "doc_id", "text", k=3).withColumnRenamed("id", "doc_id")
+
+
+SQL_TFIDF_TOPK = r"""
+WITH w AS (
+  SELECT doc_id, unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), x -> x <> '')) AS term
+  FROM documents
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM w GROUP BY doc_id, term
+), dfreq AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY term
+), n AS (
+  SELECT count(*) AS n_docs FROM documents
+), scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, tf.tf * ((n.n_docs * 1000) // dfreq.df) AS score_x1000
+  FROM tf JOIN dfreq USING (term), n
+)
+SELECT doc_id, term, CAST(tf AS BIGINT) AS tf,
+       CAST(score_x1000 AS BIGINT) AS score_x1000, CAST(rank AS BIGINT) AS rank
+FROM (
+  SELECT doc_id, term, tf, score_x1000,
+         row_number() OVER (PARTITION BY doc_id ORDER BY score_x1000 DESC, term ASC) AS rank
+  FROM scored
+) WHERE rank <= 3
+"""
+
+
 def q_corpus_pipeline(spark, sf):
     """q48: the full LLM-corpus pipeline composed end-to-end (round-4
     verdict item 1) — extraction (q30 path) -> quality -> repetition ->
@@ -2187,6 +2221,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q53_mix_resample": q_mix_resample,
         "q54_epoch_shuffle": q_epoch_shuffle,
         "q55_pack_sequences": q_pack_sequences,
+        "q56_tfidf_topk": q_tfidf_topk,
     }
 
 
@@ -2244,6 +2279,7 @@ def oracle_sql() -> dict[str, str]:
         "q53_mix_resample": SQL_MIX_RESAMPLE,
         "q54_epoch_shuffle": SQL_EPOCH_SHUFFLE,
         "q55_pack_sequences": SQL_PACK_SEQUENCES,
+        "q56_tfidf_topk": SQL_TFIDF_TOPK,
         # q30: expected output precomputed by the shared pure-Python
         # semantics into a parquet fixture (scripts/build_fixtures.py) —
         # committed only for the oracle scales (sf0.001/sf0.01); at any
