@@ -64,6 +64,13 @@ BENCH_QUERIES = [
     "q45_para_dedup",
     "q49_substring_dedup",
     "q50_model_quality",
+    "q51_token_budget",
+    "q52_incremental_dedup",
+    "q53_mix_resample",
+    "q54_epoch_shuffle",
+    "q55_pack_sequences",
+    "q56_tfidf_topk",
+    "q57_token_quantiles",
 ]
 
 

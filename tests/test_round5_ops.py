@@ -583,3 +583,14 @@ def test_tfidf_topk_exact(spark):
     # doc3: cherry tf2 -> 3000; apple 1500; common 1000
     assert got[(3, 1)] == ("cherry", 3000)
     assert got[(3, 2)] == ("apple", 1500)
+
+
+def test_exact_group_quantiles(spark):
+    from xhs_ocr_spark.operators.textops import exact_group_quantiles
+
+    rows = [Row(g="a", v=i) for i in range(1, 101)] + [Row(g="b", v=7) for _ in range(5)]
+    df = spark.createDataFrame(rows)
+    got = {r["g"]: (r["n_rows"], r["p250"], r["p500"], r["p900"]) for r in
+           exact_group_quantiles(df, "g", "v").collect()}
+    # a: 1..100 -> ceil(.25*100)=25th=25, 50th=50, 90th=90; b: all 7
+    assert got == {"a": (100, 25, 50, 90), "b": (5, 7, 7, 7)}

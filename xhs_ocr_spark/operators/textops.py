@@ -217,3 +217,46 @@ def tfidf_topk(df, id_col: str, text_col: str, k: int = 3):
             "rank",
         )
     )
+
+
+def exact_group_quantiles(
+    df,
+    group_col: str,
+    value_col: str,
+    q_x1000: tuple[int, ...] = (250, 500, 900),
+):
+    """Exact per-group quantiles of an INTEGER-valued metric — the
+    corpus data-card stat (p25/p50/p90 token counts per language)
+    computed exactly at any scale, where approx_percentile would give
+    engine-dependent answers.
+
+    Shape: value histogram groupBy(group, value) with map-side partial
+    counts — bounded by |distinct values| per group (token counts,
+    lengths, scores: thousands of distinct values, independent of row
+    count; continuous metrics must be bucketed first) — then a
+    per-group cumulative window over the AGGREGATED rows, and the
+    lower-quantile element (smallest v with cum >= ceil(q*n/1000),
+    quantile_disc semantics) via conditional min. ceil is the
+    positive-only (a + b - 1) DIV b form, identical in Spark and
+    DuckDB (negative integer division differs: Spark truncates,
+    DuckDB floors).
+    """
+    from pyspark.sql.window import Window
+
+    h = df.groupBy(group_col, value_col).agg(F.count(F.lit(1)).alias("_cnt"))
+    n = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("_n"))
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(F.asc(value_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ch = h.withColumn("_cum", F.sum("_cnt").over(w)).join(n, group_col)
+    aggs = [F.min("_n").cast("long").alias("n_rows")]
+    for q in q_x1000:
+        target = F.expr(f"({int(q)} * _n + 999) DIV 1000")
+        aggs.append(
+            F.min(F.when(F.col("_cum") >= target, F.col(value_col)))
+            .cast("long")
+            .alias(f"p{int(q)}")
+        )
+    return ch.groupBy(group_col).agg(*aggs)

@@ -1412,6 +1412,43 @@ FROM (
 """
 
 
+def q_token_quantiles(spark, sf):
+    """q57: corpus data card — exact per-language p25/p50/p90 token
+    counts (plus row count). Exact at any scale via the value-histogram
+    form in textops.exact_group_quantiles: the histogram is bounded by
+    distinct token counts, not corpus size, and approx_percentile
+    would be engine-dependent."""
+    d = _t(spark, sf, "documents")
+    v = d.select(
+        "lang", TX.token_count(F.col("text")).cast("long").alias("n_tokens")
+    )
+    return TX.exact_group_quantiles(v, "lang", "n_tokens")
+
+
+SQL_TOKEN_QUANTILES = r"""
+WITH v AS (
+  SELECT lang,
+         CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '')) AS BIGINT) AS n_tokens
+  FROM documents
+), h AS (
+  SELECT lang, n_tokens, count(*) AS cnt FROM v GROUP BY lang, n_tokens
+), n AS (
+  SELECT lang, count(*) AS n_rows FROM v GROUP BY lang
+), c AS (
+  SELECT lang, n_tokens,
+         SUM(cnt) OVER (PARTITION BY lang ORDER BY n_tokens
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM h
+)
+SELECT c.lang, CAST(min(n.n_rows) AS BIGINT) AS n_rows,
+       CAST(min(CASE WHEN cum >= (250 * n.n_rows + 999) // 1000 THEN n_tokens END) AS BIGINT) AS p250,
+       CAST(min(CASE WHEN cum >= (500 * n.n_rows + 999) // 1000 THEN n_tokens END) AS BIGINT) AS p500,
+       CAST(min(CASE WHEN cum >= (900 * n.n_rows + 999) // 1000 THEN n_tokens END) AS BIGINT) AS p900
+FROM c JOIN n USING (lang)
+GROUP BY c.lang
+"""
+
+
 def q_corpus_pipeline(spark, sf):
     """q48: the full LLM-corpus pipeline composed end-to-end (round-4
     verdict item 1) — extraction (q30 path) -> quality -> repetition ->
@@ -2222,6 +2259,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q54_epoch_shuffle": q_epoch_shuffle,
         "q55_pack_sequences": q_pack_sequences,
         "q56_tfidf_topk": q_tfidf_topk,
+        "q57_token_quantiles": q_token_quantiles,
     }
 
 
@@ -2280,6 +2318,7 @@ def oracle_sql() -> dict[str, str]:
         "q54_epoch_shuffle": SQL_EPOCH_SHUFFLE,
         "q55_pack_sequences": SQL_PACK_SEQUENCES,
         "q56_tfidf_topk": SQL_TFIDF_TOPK,
+        "q57_token_quantiles": SQL_TOKEN_QUANTILES,
         # q30: expected output precomputed by the shared pure-Python
         # semantics into a parquet fixture (scripts/build_fixtures.py) —
         # committed only for the oracle scales (sf0.001/sf0.01); at any
