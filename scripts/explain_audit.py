@@ -236,6 +236,18 @@ def main() -> None:
     )
 
     audit(
+        "q58_sessionize",
+        Q.queries()["q58_sessionize"](spark, SF),
+        [
+            # one shuffle on the session key, windows partitioned by it
+            # (bounded per user) — never an unpartitioned event window
+            ("shuffle on the session key", r"hashpartitioning\(user_id", True),
+            ("window partitioned by key", r"\], \[[^\]]*user_id[^\]]*\], \[", True),
+            ("no join", r"Join", False),
+            ("no python anywhere", r"EvalPython|MapInPandas", False),
+        ],
+    )
+    audit(
         "q56_tfidf_topk",
         Q.queries()["q56_tfidf_topk"](spark, SF),
         [

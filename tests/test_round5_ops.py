@@ -594,3 +594,47 @@ def test_exact_group_quantiles(spark):
            exact_group_quantiles(df, "g", "v").collect()}
     # a: 1..100 -> ceil(.25*100)=25th=25, 50th=50, 90th=90; b: all 7
     assert got == {"a": (100, 25, 50, 90), "b": (5, 7, 7, 7)}
+
+
+def test_sessionize_gap_semantics(spark):
+    from datetime import datetime
+
+    from xhs_ocr_spark.operators.sessionize import sessionize
+
+    def t(m):
+        return datetime(2024, 1, 1, 0, m)
+
+    rows = [
+        Row(event_id=1, user_id=1, ts=t(0)),
+        Row(event_id=2, user_id=1, ts=t(20)),   # gap 20m -> same session
+        Row(event_id=3, user_id=1, ts=t(55)),   # gap 35m -> new session
+        Row(event_id=4, user_id=1, ts=t(55)),   # same ts -> event_id order, gap 0
+        Row(event_id=5, user_id=2, ts=t(5)),    # other user -> own session 1
+    ]
+    df = spark.createDataFrame(rows)
+    got = {
+        r["event_id"]: (r["user_id"], r["session_idx"], r["is_start"])
+        for r in sessionize(df, "user_id", "ts", "event_id", gap_sec=1800).collect()
+    }
+    assert got == {
+        1: (1, 1, 1),
+        2: (1, 1, 0),
+        3: (1, 2, 1),
+        4: (1, 2, 0),
+        5: (2, 1, 1),
+    }
+
+
+def test_sessionize_exact_30min_boundary_is_same_session(spark):
+    from datetime import datetime
+
+    from xhs_ocr_spark.operators.sessionize import sessionize
+
+    rows = [
+        Row(event_id=1, user_id=1, ts=datetime(2024, 1, 1, 0, 0)),
+        Row(event_id=2, user_id=1, ts=datetime(2024, 1, 1, 0, 30)),  # == gap, not >
+    ]
+    got = sessionize(
+        spark.createDataFrame(rows), "user_id", "ts", "event_id"
+    ).collect()
+    assert {r["event_id"]: r["session_idx"] for r in got} == {1: 1, 2: 1}

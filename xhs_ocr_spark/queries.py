@@ -1449,6 +1449,37 @@ GROUP BY c.lang
 """
 
 
+def q_sessionize(spark, sf):
+    """q58: gap-based sessionization of the events stream (30-min
+    silence closes a session). Window partitioned by user — bounded by
+    one user's events at any scale, one shuffle on the key; exact
+    integer epoch-second gap arithmetic on both engines."""
+    ev = _t(spark, sf, "events")
+    from .operators.sessionize import sessionize
+
+    return sessionize(ev, "user_id", "ts", "event_id", gap_sec=1800)
+
+
+SQL_SESSIONIZE = r"""
+WITH o AS (
+  SELECT event_id, user_id, ts,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events
+), f AS (
+  SELECT event_id, user_id, ts,
+         CASE WHEN prev IS NULL
+                   OR CAST(epoch(ts) AS BIGINT) - CAST(epoch(prev) AS BIGINT) > 1800
+              THEN 1 ELSE 0 END AS brk
+  FROM o
+)
+SELECT event_id, user_id,
+       CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx,
+       CAST(brk AS BIGINT) AS is_start
+FROM f
+"""
+
+
 def q_corpus_pipeline(spark, sf):
     """q48: the full LLM-corpus pipeline composed end-to-end (round-4
     verdict item 1) — extraction (q30 path) -> quality -> repetition ->
@@ -2260,6 +2291,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q55_pack_sequences": q_pack_sequences,
         "q56_tfidf_topk": q_tfidf_topk,
         "q57_token_quantiles": q_token_quantiles,
+        "q58_sessionize": q_sessionize,
     }
 
 
@@ -2319,6 +2351,7 @@ def oracle_sql() -> dict[str, str]:
         "q55_pack_sequences": SQL_PACK_SEQUENCES,
         "q56_tfidf_topk": SQL_TFIDF_TOPK,
         "q57_token_quantiles": SQL_TOKEN_QUANTILES,
+        "q58_sessionize": SQL_SESSIONIZE,
         # q30: expected output precomputed by the shared pure-Python
         # semantics into a parquet fixture (scripts/build_fixtures.py) —
         # committed only for the oracle scales (sf0.001/sf0.01); at any
