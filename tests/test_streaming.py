@@ -157,3 +157,73 @@ def test_streaming_content_dedup_rejects_mutated_replay(spark, tmp_path):
     }
     assert got == _expected(0, 40)  # new docs landed...
     assert not any(d.startswith("dup_") for d, *_ in got)  # ...mutated replay rejected
+
+
+def test_streaming_sessions_batch_parity(spark):
+    """session_window on a batch frame agrees with the lag+cumsum
+    sessionizer (gap_sec = window_gap - 1: session_window's end is
+    exclusive, so an exact-gap arrival opens a new session there)."""
+    from xhs_ocr_spark.operators.sessionize import sessionize
+    from xhs_ocr_spark.streaming import streaming_sessions
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    sw = streaming_sessions(ev, gap="30 minutes")
+    batch = sessionize(ev, "user_id", "ts", "event_id", gap_sec=1799)
+    got = {
+        (r["user_id"], r["n_sessions"], r["n_events"])
+        for r in sw.groupBy("user_id")
+        .agg(F.count("*").alias("n_sessions"), F.sum("n_events").alias("n_events"))
+        .collect()
+    }
+    exp = {
+        (r["user_id"], r["n_sessions"], r["n_events"])
+        for r in batch.groupBy("user_id")
+        .agg(
+            F.countDistinct("session_idx").alias("n_sessions"),
+            F.count("*").alias("n_events"),
+        )
+        .collect()
+    }
+    assert got == exp
+
+
+def test_streaming_sessions_append_mode_emits_finalized(spark, tmp_path):
+    from datetime import datetime
+
+    from pyspark.sql import Row
+
+    from xhs_ocr_spark.streaming import streaming_sessions
+
+    tmp = str(tmp_path)
+    rows = [
+        Row(event_id=1, ts=datetime(2024, 1, 1, 0, 0), user_id=1,
+            event_type="view", value=1.0, props="{}"),
+        Row(event_id=2, ts=datetime(2024, 1, 1, 0, 10), user_id=1,
+            event_type="view", value=1.0, props="{}"),      # same session
+        Row(event_id=3, ts=datetime(2024, 1, 1, 2, 0), user_id=1,
+            event_type="view", value=1.0, props="{}"),      # new session
+        Row(event_id=9, ts=datetime(2024, 1, 2, 0, 0), user_id=99,
+            event_type="view", value=1.0, props="{}"),      # watermark pusher
+    ]
+    src = spark.createDataFrame(rows)
+    src.coalesce(1).write.mode("overwrite").parquet(f"{tmp}/in")
+    stream = spark.readStream.schema(src.schema).parquet(f"{tmp}/in")
+    q = (
+        streaming_sessions(stream, gap="30 minutes", watermark="1 hour")
+        .writeStream.format("parquet")
+        .option("path", f"{tmp}/out")
+        .option("checkpointLocation", f"{tmp}/ck")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {
+        (r["user_id"], r["first_event_id"], r["n_events"])
+        for r in spark.read.parquet(f"{tmp}/out").collect()
+    }
+    # user 1's two sessions end long before the watermark (max ts - 1h),
+    # so append mode emits them finalized; the pusher's own session may
+    # or may not have emitted — assert only on the finalized ones
+    assert {(1, 1, 2), (1, 3, 1)} <= got
+    assert all(u == 99 for (u, f, n) in got - {(1, 1, 2), (1, 3, 1)})

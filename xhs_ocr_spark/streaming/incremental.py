@@ -167,3 +167,34 @@ def windowed_event_counts(events: DataFrame, window: str = "10 minutes",
             "value_cents",
         )
     )
+
+
+def streaming_sessions(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Native streaming sessionization: F.session_window merges events
+    whose windows overlap (a session's window extends ``gap`` past each
+    event; state is bounded by the watermark — finalized sessions emit
+    in append mode once the watermark passes their end). The batch
+    analog is operators/sessionize.py's lag+cumsum form; boundary note:
+    session_window's end is EXCLUSIVE, so a gap of exactly ``gap`` opens
+    a NEW session here, while sessionize(gap_sec=g) keeps gap == g in
+    the same session — parity holds for sessionize(gap_sec=g-1).
+    Works on a streaming OR batch events DataFrame."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.min("event_id").cast("long").alias("first_event_id"),
+        )
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "user_id",
+            "n_events",
+            "first_event_id",
+        )
+    )
