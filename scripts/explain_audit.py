@@ -248,6 +248,18 @@ def main() -> None:
         ],
     )
     audit(
+        "q59_sessionize_bucketed",
+        Q.queries()["q59_sessionize_bucketed"](spark, SF),
+        [
+            # the skew-safe form: event windows partition by (key, bucket)
+            # — a hot key's events split across tasks; only the per-bucket
+            # SUMMARY frame (one row per active bucket) windows by key
+            ("event window partitioned by (key, bucket)", r"\], \[[^\]]*_bkt[^\]]*\], \[", True),
+            ("stitch join is an equi-join", r"NestedLoop|CartesianProduct", False),
+            ("no python anywhere", r"EvalPython|MapInPandas", False),
+        ],
+    )
+    audit(
         "q56_tfidf_topk",
         Q.queries()["q56_tfidf_topk"](spark, SF),
         [

@@ -638,3 +638,42 @@ def test_sessionize_exact_30min_boundary_is_same_session(spark):
         spark.createDataFrame(rows), "user_id", "ts", "event_id"
     ).collect()
     assert {r["event_id"]: r["session_idx"] for r in got} == {1: 1, 2: 1}
+
+
+def test_sessionize_bucketed_matches_plain_on_events(spark):
+    from xhs_ocr_spark.operators.sessionize import sessionize, sessionize_bucketed
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    plain = {
+        r["event_id"]: (r["session_idx"], r["is_start"])
+        for r in sessionize(ev, "user_id", "ts", "event_id").collect()
+    }
+    for bucket in (3600, 900):  # > gap and < gap: both must stitch right
+        got = {
+            r["event_id"]: (r["session_idx"], r["is_start"])
+            for r in sessionize_bucketed(
+                ev, "user_id", "ts", "event_id", bucket_sec=bucket
+            ).collect()
+        }
+        assert got == plain, f"bucket_sec={bucket}"
+
+
+def test_sessionize_bucketed_chained_merge(spark):
+    """A single session spanning many buckets (events every 10 min for
+    3 hours, 1h buckets) must collapse to ONE session index."""
+    from datetime import datetime, timedelta
+
+    from xhs_ocr_spark.operators.sessionize import sessionize_bucketed
+
+    t0 = datetime(2024, 1, 1, 0, 0)
+    rows = [
+        Row(event_id=i, user_id=1, ts=t0 + timedelta(minutes=10 * i))
+        for i in range(19)  # 0..180 min
+    ] + [Row(event_id=100, user_id=1, ts=t0 + timedelta(hours=10))]
+    got = sessionize_bucketed(
+        spark.createDataFrame(rows), "user_id", "ts", "event_id", bucket_sec=3600
+    ).collect()
+    idx = {r["event_id"]: r["session_idx"] for r in got}
+    assert all(idx[i] == 1 for i in range(19))
+    assert idx[100] == 2
+    assert sum(r["is_start"] for r in got) == 2

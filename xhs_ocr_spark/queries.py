@@ -1480,6 +1480,20 @@ FROM f
 """
 
 
+def q_sessionize_bucketed(spark, sf):
+    """q59: skew-safe sessionization — identical semantics to q58 (and
+    the SAME oracle SQL), but the per-key window is split into (user,
+    1-hour-bucket) partitions and stitched on a per-bucket summary
+    frame, so a hot key (bot account with 10^8 events) never funnels
+    into one task. The 100x-scale form of q58."""
+    ev = _t(spark, sf, "events")
+    from .operators.sessionize import sessionize_bucketed
+
+    return sessionize_bucketed(
+        ev, "user_id", "ts", "event_id", gap_sec=1800, bucket_sec=3600
+    )
+
+
 def q_corpus_pipeline(spark, sf):
     """q48: the full LLM-corpus pipeline composed end-to-end (round-4
     verdict item 1) — extraction (q30 path) -> quality -> repetition ->
@@ -2292,6 +2306,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q56_tfidf_topk": q_tfidf_topk,
         "q57_token_quantiles": q_token_quantiles,
         "q58_sessionize": q_sessionize,
+        "q59_sessionize_bucketed": q_sessionize_bucketed,
     }
 
 
@@ -2352,6 +2367,8 @@ def oracle_sql() -> dict[str, str]:
         "q56_tfidf_topk": SQL_TFIDF_TOPK,
         "q57_token_quantiles": SQL_TOKEN_QUANTILES,
         "q58_sessionize": SQL_SESSIONIZE,
+        # q59 is the skew-safe form of the SAME semantics — same oracle
+        "q59_sessionize_bucketed": SQL_SESSIONIZE,
         # q30: expected output precomputed by the shared pure-Python
         # semantics into a parquet fixture (scripts/build_fixtures.py) —
         # committed only for the oracle scales (sf0.001/sf0.01); at any
