@@ -71,6 +71,8 @@ BENCH_QUERIES = [
     "q55_pack_sequences",
     "q56_tfidf_topk",
     "q57_token_quantiles",
+    "q58_sessionize",
+    "q59_sessionize_bucketed",
 ]
 
 
