@@ -1052,9 +1052,13 @@ def incremental_dedup_status(
     corpus_fp = corp.select("fp").distinct()
     corpus_band = corp.select(F.explode("bands").alias("band")).distinct()
 
+    # distinct keeps the flag frames one-row-per-id; ids must be unique
+    # within the incoming batch (dup ids would multiply through the
+    # final left joins — dedup the batch first, it's the same operator)
     exact_ids = (
         newb.join(corpus_fp, "fp", "left_semi")
         .select("id")
+        .distinct()
         .withColumn("_is_exact", F.lit(1))
     )
     near_ids = (

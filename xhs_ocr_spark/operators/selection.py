@@ -152,6 +152,9 @@ def epoch_shuffle_positions(
     across runs/cluster sizes, and — because the grouping key is a
     PREFIX of the order key — the (group, key) order IS the key order,
     so the oracle is a plain ``row_number() OVER (ORDER BY md5(...))``.
+    Ids must be unique: duplicate ids share a shuffle key, and the
+    relative order of tied keys (here and in any engine's row_number)
+    is not deterministic.
 
     The position assignment is the two-level cumsum of 1s: no global
     sort, no single-task window, at any corpus size.
