@@ -278,11 +278,11 @@ def main() -> None:
         attempts.append(rec)
         if best is None or result["docs_per_sec"] > best[0]["docs_per_sec"]:
             best = (result, attempt)
-        # sustained-band gate: default off (inf) until the fast-band
-        # value is characterized — enable with BENCH_CAL_SUS_THRESHOLD
-        # once both modes have been observed (slow mode measures ~0.21)
+        # sustained-band gate: both modes characterized same-day
+        # (fast 0.138 with a 15.3k headline vs slow 0.205-0.228 with
+        # 11.0k), so 0.17 separates them like the other two gates
         cal_sus_threshold = float(
-            os.environ.get("BENCH_CAL_SUS_THRESHOLD", "inf")
+            os.environ.get("BENCH_CAL_SUS_THRESHOLD", "0.17")
         )
         if (
             a_pre <= cal_threshold
