@@ -677,3 +677,24 @@ def test_sessionize_bucketed_chained_merge(spark):
     assert all(idx[i] == 1 for i in range(19))
     assert idx[100] == 2
     assert sum(r["is_start"] for r in got) == 2
+
+
+def test_source_reputation_threshold(spark):
+    from xhs_ocr_spark.queries import q_source_reputation
+
+    # exercised on real testdata via the oracle; unit: threshold math on
+    # a synthetic frame through the same query path is covered by the
+    # oracle twin, so here pin the invariants that matter structurally
+    out = q_source_reputation(spark, "/root/testdata/sf0.001")
+    rows = out.collect()
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r["source"], set()).add(
+            (r["src_n_docs"], r["src_quality_x1000"], r["keep"])
+        )
+    # reputation is a pure function of source: one tuple per source
+    assert all(len(v) == 1 for v in by_src.values())
+    # keep flag consistent with the threshold
+    for v in by_src.values():
+        (n, q, k) = next(iter(v))
+        assert k == (1 if q >= 700 else 0)

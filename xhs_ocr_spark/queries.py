@@ -1494,6 +1494,64 @@ def q_sessionize_bucketed(spark, sf):
     )
 
 
+def q_source_reputation(spark, sf):
+    """q60: source/domain reputation scoring — the web-pipeline gate
+    that drops documents from low-quality domains wholesale. Per-source
+    mean document quality (integer: sum DIV n) aggregated map-side,
+    joined back to rows (strategy left to the planner: the source dim
+    is corpus-derived, broadcast when small, shuffle at web scale),
+    keep = source mean above threshold. All integer arithmetic."""
+    d = _t(spark, sf, "documents")
+    q = d.select(
+        "doc_id", "source", TX.quality_score(F.col("text")).alias("q")
+    )
+    rep = q.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("src_n_docs"),
+        F.expr("CAST(sum(q) DIV count(1) AS BIGINT)").alias("src_quality_x1000"),
+    )
+    return (
+        q.join(rep, "source")
+        .select(
+            "doc_id",
+            "source",
+            "src_n_docs",
+            "src_quality_x1000",
+            F.when(F.col("src_quality_x1000") >= 700, F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("keep"),
+        )
+    )
+
+
+SQL_SOURCE_REPUTATION = r"""
+WITH w AS (
+  SELECT doc_id, source, list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS ws
+  FROM documents
+), m AS (
+  SELECT doc_id, source, len(ws) AS n,
+         len(list_filter(ws, x -> list_contains(['the','a','an','and','or','of','to','in','is','it'], lower(x)))) / CAST(len(ws) AS DOUBLE) AS sw,
+         list_sum(list_transform(ws, x -> length(x))) / CAST(len(ws) AS DOUBLE) AS avg_word
+  FROM w
+), q AS (
+  SELECT doc_id, source,
+    CAST(round(
+      (CASE WHEN n BETWEEN 10 AND 1000 THEN 1.0 ELSE 0.3 END) *
+      (CASE WHEN sw > 0.01 AND sw < 0.6 THEN 1.0 ELSE 0.5 END) *
+      (CASE WHEN avg_word >= 2 AND avg_word <= 12 THEN 1.0 ELSE 0.4 END) * 1000
+    ) AS BIGINT) AS q
+  FROM m
+), rep AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS src_n_docs,
+         CAST(sum(q) // count(*) AS BIGINT) AS src_quality_x1000
+  FROM q GROUP BY source
+)
+SELECT q.doc_id, q.source, rep.src_n_docs, rep.src_quality_x1000,
+       CAST(CASE WHEN rep.src_quality_x1000 >= 700 THEN 1 ELSE 0 END AS BIGINT) AS keep
+FROM q JOIN rep USING (source)
+"""
+
+
 def q_corpus_pipeline(spark, sf):
     """q48: the full LLM-corpus pipeline composed end-to-end (round-4
     verdict item 1) — extraction (q30 path) -> quality -> repetition ->
@@ -2307,6 +2365,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q57_token_quantiles": q_token_quantiles,
         "q58_sessionize": q_sessionize,
         "q59_sessionize_bucketed": q_sessionize_bucketed,
+        "q60_source_reputation": q_source_reputation,
     }
 
 
@@ -2369,6 +2428,7 @@ def oracle_sql() -> dict[str, str]:
         "q58_sessionize": SQL_SESSIONIZE,
         # q59 is the skew-safe form of the SAME semantics — same oracle
         "q59_sessionize_bucketed": SQL_SESSIONIZE,
+        "q60_source_reputation": SQL_SOURCE_REPUTATION,
         # q30: expected output precomputed by the shared pure-Python
         # semantics into a parquet fixture (scripts/build_fixtures.py) —
         # committed only for the oracle scales (sf0.001/sf0.01); at any
