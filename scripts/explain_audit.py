@@ -207,21 +207,34 @@ def main() -> None:
             ("no python anywhere", r"EvalPython|MapInPandas", False),
         ],
     )
-    for nm in ("q54_epoch_shuffle", "q55_pack_sequences"):
-        audit(
-            nm,
-            Q.queries()[nm](spark, SF),
-            [
-                # two-level cumsum shape (same contract as q51): bounded
-                # group aggregate, broadcast offsets, PARTITIONED per-row
-                # window — never a global-sort window over the corpus
-                ("group totals partially aggregated", r"partial_sum|partial_count", True),
-                ("offsets broadcast to rows", r"BroadcastHashJoin", True),
-                ("per-row window partitioned by group", r"\], \[[^\]]*_grp[^\]]*\], \[", True),
-                ("no sort-merge join", r"SortMergeJoin", False),
-                ("no python anywhere", r"EvalPython|MapInPandas", False),
-            ],
-        )
+    # the group cardinality is CONFIGURABLE (round-5 verdict item 4:
+    # 16**prefix_len groups; 2 is the sandbox default, 4-5 the 1e12-row
+    # setting) — audit the two-level shape at BOTH, and pin that the
+    # per-row window really partitions at the configured cardinality
+    # (the group key is substring(key, 1, prefix_len) in the plan).
+    for plen in (2, 4):
+        os.environ["XHS_SHUFFLE_PREFIX_LEN"] = str(plen)
+        for nm in ("q54_epoch_shuffle", "q55_pack_sequences"):
+            audit(
+                f"{nm}[prefix_len={plen}]",
+                Q.queries()[nm](spark, SF),
+                [
+                    # two-level cumsum shape (same contract as q51): bounded
+                    # group aggregate, broadcast offsets, PARTITIONED per-row
+                    # window — never a global-sort window over the corpus
+                    ("group totals partially aggregated", r"partial_sum|partial_count", True),
+                    ("offsets broadcast to rows", r"BroadcastHashJoin", True),
+                    ("per-row window partitioned by group", r"\], \[[^\]]*_grp[^\]]*\], \[", True),
+                    (
+                        "group key at configured cardinality",
+                        rf"substring\(md5\(.*\), 1, {plen}\)",
+                        True,
+                    ),
+                    ("no sort-merge join", r"SortMergeJoin", False),
+                    ("no python anywhere", r"EvalPython|MapInPandas", False),
+                ],
+            )
+    os.environ.pop("XHS_SHUFFLE_PREFIX_LEN", None)
     audit(
         "q53_mix_resample",
         Q.queries()["q53_mix_resample"](spark, SF),

@@ -528,6 +528,41 @@ def test_epoch_shuffle_is_exact_permutation(spark):
     assert got == expect
 
 
+def test_epoch_shuffle_prefix_len_invariant(spark):
+    """The group cardinality (16**prefix_len) is a pure execution
+    parameter: md5 keys are uniform and the group key is a PREFIX of
+    the order key, so positions must be identical at any prefix_len
+    (round-5 verdict item 4 — the cardinality must scale with the
+    corpus without touching results)."""
+    from xhs_ocr_spark.operators.selection import (
+        epoch_shuffle_positions,
+        pack_sequences,
+    )
+
+    df = spark.createDataFrame([Row(id=i, toks=5 + (i % 7)) for i in range(300)])
+    ref_pos = {
+        r["id"]: r["pos"]
+        for r in epoch_shuffle_positions(df, "id", prefix_len=2).collect()
+    }
+    ref_pack = {
+        r["id"]: (r["seq_id"], r["offset_in_seq"])
+        for r in pack_sequences(df, "id", "toks", seq_len=32, prefix_len=2).collect()
+    }
+    for plen in (1, 3):
+        got = {
+            r["id"]: r["pos"]
+            for r in epoch_shuffle_positions(df, "id", prefix_len=plen).collect()
+        }
+        assert got == ref_pos
+        gotp = {
+            r["id"]: (r["seq_id"], r["offset_in_seq"])
+            for r in pack_sequences(
+                df, "id", "toks", seq_len=32, prefix_len=plen
+            ).collect()
+        }
+        assert gotp == ref_pack
+
+
 def test_epoch_shuffle_salt_reshuffles(spark):
     from xhs_ocr_spark.operators.selection import epoch_shuffle_positions
 

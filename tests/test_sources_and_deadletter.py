@@ -108,9 +108,14 @@ def test_jsonl_deadletter_split(spark, tmp_path):
     }
     dl = dead.collect()
     assert len(dl) == 2
-    assert {r["reason"] for r in dl} == {"jsonl_parse"}
-    raws = "\n".join(r["raw_line"] for r in dl)
-    assert "not json" in raws  # raw line preserved for replay
+    by_reason = {r["reason"]: r["raw_line"] for r in dl}
+    # malformed JSON and valid-JSON-wrong-shape are distinct classes,
+    # and BOTH keep the original input line verbatim for replay
+    # (round-5 ADVICE: the old reader degraded wrong-shape raw_line
+    # to an all-null '{}')
+    assert set(by_reason) == {"jsonl_parse", "jsonl_shape"}
+    assert "not json" in by_reason["jsonl_parse"]
+    assert by_reason["jsonl_shape"] == '{"unrelated_shape": true}'
 
 
 def test_csv_deadletter_split(spark, tmp_path):

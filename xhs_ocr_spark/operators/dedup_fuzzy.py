@@ -966,19 +966,35 @@ def ngram_jaccard_pairs(
     # Route choice (measured at sf0.1: 108k postings, max posting 14,
     # 456k pair occurrences): the sharded machinery (window sum +
     # aggregated-shard self-join + spread exchange) exists to bound
-    # per-row state for UNBOUNDED buckets, but with max_df enforced the
-    # collect_set row is bounded by max_df by construction (the max_df
-    # filter is exact on the set size: index rows are distinct (id, sh)
-    # pairs) — so the direct groupBy + size-filter + guarded expansion
-    # route produces the identical pair multiset with ONE shuffle and no
-    # join, ~2x faster on real Zipfian postings where almost every
+    # per-row state for UNBOUNDED buckets; with max_df enforced the
+    # count-prefilter + semi-join route below bounds every collect_set
+    # row to max_df BEFORE aggregation, so the direct guarded-expansion
+    # route produces the identical pair multiset without the sharded
+    # self-join, faster on real Zipfian postings where almost every
     # posting is small. max_df=None (unbounded postings) keeps the
     # full sharded guard.
     if max_df is not None:
-        buckets = (
+        # Hot-posting guard (round-5 ADVICE, high): the collect_set must
+        # NEVER see a posting above max_df — filtering on size(ids)
+        # AFTER aggregation would first materialize one O(|posting|)
+        # aggregate row for the hottest shingle (a stopword shingle with
+        # 10^8 ids = one multi-GB row in a single task) before dropping
+        # it. Pre-filter with a bounded count aggregate (partial-agg
+        # safe: only (key, partial_count) rows cross the shuffle), keep
+        # keys with df <= max_df, left-semi join the index against that,
+        # THEN collect — the set is genuinely bounded by max_df by the
+        # time it is built. Index rows are distinct (id, sh) pairs, so
+        # count(*) IS the posting's document frequency.
+        small_keys = (
             ex.groupBy(*group_keys)
+            .agg(F.count("*").alias("_df"))
+            .where(F.col("_df") <= max_df)
+            .select(*group_keys)
+        )
+        buckets = (
+            ex.join(small_keys, group_keys, "left_semi")
+            .groupBy(*group_keys)
             .agg(F.sort_array(F.collect_set("id")).alias("ids"))
-            .where(F.size("ids") <= max_df)
         )
         # spread=False: posting rows are already spread across tasks by
         # the aggregate exchange; the anchor exchange would move

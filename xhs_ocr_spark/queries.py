@@ -1331,10 +1331,15 @@ def q_epoch_shuffle(spark, sf):
     position for every document under the pseudo-random total order
     md5(salt||id). Reshuffle = change the salt; reproducible across
     runs and cluster sizes. The position is a two-level cumsum of 1s
-    (grouping key = 2-hex-char key prefix, so group order IS key
-    order) — no global sort, no single-task window."""
+    (grouping key = hex key prefix, so group order IS key order) — no
+    global sort, no single-task window. The group cardinality is
+    16**prefix_len (default 2 -> 256, right-sized for the sandbox; see
+    two_level_cumsum's sizing math for 1e12 rows); the OUTPUT — and so
+    the oracle — is prefix_len-invariant, and XHS_SHUFFLE_PREFIX_LEN
+    lets the oracle harness prove that at a second cardinality."""
     d = _t(spark, sf, "documents")
-    return SEL.epoch_shuffle_positions(d, "doc_id", salt="epoch-0")
+    plen = int(os.environ.get("XHS_SHUFFLE_PREFIX_LEN", "2"))
+    return SEL.epoch_shuffle_positions(d, "doc_id", salt="epoch-0", prefix_len=plen)
 
 
 SQL_EPOCH_SHUFFLE = r"""
@@ -1352,12 +1357,16 @@ def q_pack_sequences(spark, sf):
     offset there (the trainer's chunker handles docs spanning a
     boundary). Concatenate-and-chunk is the step between corpus
     assembly and the trainer in every LLM pretraining pipeline; here
-    it is the two-level token cumsum — no global sort at any scale."""
+    it is the two-level token cumsum — no global sort at any scale
+    (group cardinality = 16**prefix_len, output prefix_len-invariant;
+    XHS_SHUFFLE_PREFIX_LEN overrides for the two-cardinality oracle
+    proof)."""
     d = _t(spark, sf, "documents")
     toks = d.select(
         "doc_id", TX.token_count(F.col("text")).cast("long").alias("n_tokens")
     )
-    return SEL.pack_sequences(toks, "doc_id", "n_tokens", seq_len=1024)
+    plen = int(os.environ.get("XHS_SHUFFLE_PREFIX_LEN", "2"))
+    return SEL.pack_sequences(toks, "doc_id", "n_tokens", seq_len=1024, prefix_len=plen)
 
 
 SQL_PACK_SEQUENCES = r"""
@@ -1468,7 +1477,12 @@ WITH o AS (
 ), f AS (
   SELECT event_id, user_id, ts,
          CASE WHEN prev IS NULL
-                   OR CAST(epoch(ts) AS BIGINT) - CAST(epoch(prev) AS BIGINT) > 1800
+                   -- floor() before the cast (round-5 ADVICE): DuckDB's
+                   -- epoch() is DOUBLE and a bare BIGINT cast ROUNDS,
+                   -- while Spark's unix_timestamp() FLOORS — the events
+                   -- data has sub-second timestamps on every row, so
+                   -- without the floor the parity is data-lucky.
+                   OR CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(prev)) AS BIGINT) > 1800
               THEN 1 ELSE 0 END AS brk
   FROM o
 )

@@ -45,29 +45,42 @@ def read_jsonl_with_deadletter(
 ) -> tuple[DataFrame, DataFrame]:
     """Read line-delimited JSON; return (good, dead). ``schema`` must
     include a StringType ``_corrupt_record`` field. A row is dead iff
-    the corrupt column is set OR every declared data column came back
-    null (a structurally-valid JSON object of the wrong shape parses
-    to all-nulls without being marked corrupt)."""
+    the corrupt column is set (malformed JSON, reason 'jsonl_parse') OR
+    every declared data column came back null (a structurally-valid
+    JSON object of the wrong shape parses to all-nulls without being
+    marked corrupt, reason 'jsonl_shape').
+
+    The original input line is preserved for BOTH dead classes
+    (round-5 ADVICE: the old json() scan could only recover the raw
+    text of malformed lines — a wrong-shape row's raw_line degraded to
+    to_json of an all-null struct, '{}'). The reader scans the file as
+    TEXT (one scan, still byte-range splittable) and parses each line
+    with from_json, so the raw line is a real column on every row."""
     if CORRUPT_COL not in schema.fieldNames():
         raise ValueError(f"schema must declare {CORRUPT_COL} (string)")
-    raw = (
-        spark.read.schema(schema)
-        .option("mode", "PERMISSIVE")
-        .option("columnNameOfCorruptRecord", CORRUPT_COL)
-        .json(path)
+    lines = spark.read.text(path).select(F.col("value").alias("raw_line"))
+    parsed = lines.select(
+        "raw_line",
+        F.from_json(
+            F.col("raw_line"),
+            schema,
+            {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": CORRUPT_COL},
+        ).alias("_p"),
     )
     data_cols = [f for f in schema.fieldNames() if f != CORRUPT_COL]
+    corrupt = F.col("_p").getField(CORRUPT_COL).isNotNull()
     all_null = None
     for c in data_cols:
-        cond = F.col(c).isNull()
+        cond = F.col("_p").getField(c).isNull()
         all_null = cond if all_null is None else (all_null & cond)
-    bad = F.col(CORRUPT_COL).isNotNull() | all_null
-    good = raw.where(~bad).drop(CORRUPT_COL)
-    dead = raw.where(bad).select(
-        F.coalesce(F.col(CORRUPT_COL), F.to_json(F.struct(*data_cols))).alias(
-            "raw_line"
-        ),
-        F.lit("jsonl_parse").alias("reason"),
+    good = parsed.where(~(corrupt | all_null)).select(
+        *[F.col("_p").getField(c).alias(c) for c in data_cols]
+    )
+    dead = parsed.where(corrupt | all_null).select(
+        "raw_line",
+        F.when(corrupt, F.lit("jsonl_parse"))
+        .otherwise(F.lit("jsonl_shape"))
+        .alias("reason"),
     )
     return good, dead
 
