@@ -74,6 +74,9 @@ BENCH_QUERIES = [
     "q58_sessionize",
     "q59_sessionize_bucketed",
     "q60_source_reputation",
+    "q61_corpus_assembly",
+    "q62_bpe_tokens",
+    "q63_bpe_budget",
 ]
 
 

@@ -379,6 +379,46 @@ def main() -> None:
             ("no nested loop / cartesian", r"NestedLoop|CartesianProduct", False),
         ],
     )
+    # q62/q63 BPE counting: exactly the tokenizer shape — ONE
+    # Arrow-batched python stage over the scan (no shuffle below it,
+    # no row-wise python); q63's downstream selection keeps the
+    # two-level-cumsum window contract on top of the python counts.
+    audit(
+        "q62_bpe_tokens",
+        Q.queries()["q62_bpe_tokens"](spark, SF),
+        [
+            ("arrow-batched python stage", r"MapInPandas", True),
+            ("no shuffle below the tokenizer", r"Exchange", False),
+            ("no row-wise python", r"BatchEvalPython", False),
+        ],
+    )
+    audit(
+        "q63_bpe_budget",
+        Q.queries()["q63_bpe_budget"](spark, SF),
+        [
+            ("arrow-batched python stage", r"MapInPandas", True),
+            ("no row-wise python", r"BatchEvalPython", False),
+            ("per-row window partitioned by shard", r"\], \[[^\]]*_shard[^\]]*\], \[", True),
+            ("no nested loop / cartesian", r"NestedLoop|CartesianProduct", False),
+        ],
+    )
+    # q61 assembly tail composed onto the funnel (round-5 verdict item
+    # 4): same checkpoint discipline (no scan, no python above the
+    # checkpoints), and the tail's windows are the bounded two-level
+    # shapes — selection's per-row window partitioned by (score, shard),
+    # packing's by the hash-prefix group; never a global-sort window
+    # over the survivor rows.
+    audit(
+        "q61_corpus_assembly",
+        Q.queries()["q61_corpus_assembly"](spark, SF),
+        [
+            ("no parquet scan above the checkpoints", r"(?m)^\(\d+\) Scan parquet", False),
+            ("no python anywhere", r"EvalPython|MapInPandas", False),
+            ("selection window partitioned by shard", r"\], \[[^\]]*_shard[^\]]*\], \[", True),
+            ("packing window partitioned by group", r"\], \[[^\]]*_grp[^\]]*\], \[", True),
+            ("no nested loop / cartesian", r"NestedLoop|CartesianProduct", False),
+        ],
+    )
     # the fully-LAZY composed funnel (stage_checkpoints=False) pins the
     # logical composition: dedup stages aggregate (partial_min), no
     # window ever partitions by a fingerprint, nothing quadratic. (The

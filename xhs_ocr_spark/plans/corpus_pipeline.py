@@ -83,6 +83,27 @@ def _scrub(text):
     return F.regexp_replace(no_url, _EMAIL_RE, "[EMAIL]")
 
 
+def _gate_frames(base: DataFrame) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """The stateless per-document gates (quality, repetition, PII scrub)
+    — shared verbatim by the batch funnel and the incremental form,
+    because per-doc gates are trivially incremental."""
+    ws = TX.words(F.col("text"))
+    m = base.select(
+        "doc_id",
+        "text",
+        F.size(ws).alias("n"),
+        F.size(F.array_distinct(ws)).alias("dw"),
+        TX.quality_score(F.col("text")).alias("qual"),
+    )
+    s1 = m.where(F.col("qual") >= QUALITY_MIN_X1000)
+    s2 = s1.where(
+        F.expr("CASE WHEN n > 0 THEN ((n - dw) * 1000) DIV n ELSE 0 END")
+        <= DUP_WORD_MAX_X1000
+    )
+    scrubbed = s2.select("doc_id", _scrub(F.col("text")).alias("text"))
+    return s1, s2, scrubbed
+
+
 def corpus_stages(
     doc_text: DataFrame, stage_checkpoints: bool = True
 ) -> dict[str, DataFrame]:
@@ -106,20 +127,7 @@ def corpus_stages(
     def stage(df: DataFrame) -> DataFrame:
         return df.localCheckpoint(eager=True) if stage_checkpoints else df
 
-    ws = TX.words(F.col("text"))
-    m = base.select(
-        "doc_id",
-        "text",
-        F.size(ws).alias("n"),
-        F.size(F.array_distinct(ws)).alias("dw"),
-        TX.quality_score(F.col("text")).alias("qual"),
-    )
-    s1 = m.where(F.col("qual") >= QUALITY_MIN_X1000)
-    s2 = s1.where(
-        F.expr("CASE WHEN n > 0 THEN ((n - dw) * 1000) DIV n ELSE 0 END")
-        <= DUP_WORD_MAX_X1000
-    )
-    scrubbed = s2.select("doc_id", _scrub(F.col("text")).alias("text"))
+    s1, s2, scrubbed = _gate_frames(base)
 
     # exact dedup first (cheapest): min doc_id per fingerprint keeps
     fpf = scrubbed.select("doc_id", "text", TX.fingerprint(F.col("text")).alias("fp"))
@@ -190,3 +198,50 @@ def corpus_survivors(doc_text: DataFrame) -> DataFrame:
     """The pipeline's output corpus: (doc_id, stratum, bucket_x1000) of
     documents surviving every stage — the frame a MERGE sink lands."""
     return corpus_stages(doc_text)["stratified_sample"]
+
+
+ASSEMBLY_BUDGET = 50_000  # token budget for the selection stage
+ASSEMBLY_SEQ_LEN = 512  # training-sequence length for packing
+
+
+def corpus_assembly(
+    doc_text: DataFrame, stage_checkpoints: bool = True, prefix_len: int = 2
+) -> DataFrame:
+    """The assembly tail composed onto the funnel (round-5 verdict item
+    4): filtered/deduped/sampled survivors -> token-budget selection
+    (q51) -> epoch-shuffle packing (q54/q55) — corpus in, per-document
+    training placement out, ONE job.
+
+    Returns (doc_id, quality_x1000, n_tokens, cum_tokens, seq_id,
+    offset_in_seq) for every selected document: its quality score, its
+    budget-order cumulative token position, and where its first token
+    lands in the fixed-length training-sequence stream.
+
+    Same composition discipline as corpus_stages: all heavy derivation
+    sits behind the checkpoints; the tail's windows are the bounded
+    two-level-cumsum shapes (token_budget_select's per-(score, shard)
+    partitions; pack_sequences' 16**prefix_len hash-prefix groups) —
+    nothing here sorts the corpus in one task, and the tail stays pure
+    JVM (no python stage below the extraction checkpoint)."""
+    from ..operators import selection as SEL
+
+    stages = corpus_stages(doc_text, stage_checkpoints=stage_checkpoints)
+    survivors = stages["decontam"].join(
+        stages["stratified_sample"].select("doc_id"), "doc_id", "left_semi"
+    )
+    scored = survivors.select(
+        "doc_id",
+        TX.quality_score(F.col("text")).cast("long").alias("quality_x1000"),
+        TX.token_count(F.col("text")).cast("long").alias("n_tokens"),
+    )
+    sel = SEL.token_budget_select(
+        scored, "doc_id", "quality_x1000", "n_tokens", budget=ASSEMBLY_BUDGET
+    )
+    packed = SEL.pack_sequences(
+        sel.select("doc_id", "n_tokens"),
+        "doc_id",
+        "n_tokens",
+        seq_len=ASSEMBLY_SEQ_LEN,
+        prefix_len=prefix_len,
+    )
+    return sel.join(packed.select("doc_id", "seq_id", "offset_in_seq"), "doc_id")

@@ -1566,6 +1566,85 @@ FROM q JOIN rep USING (source)
 """
 
 
+def q_bpe_tokens(spark, sf):
+    """q62: BPE-faithful token counting (round-5 verdict item 6) —
+    whitespace vs tokenizer-unit counts per document under a
+    deterministic merges table, Arrow-batched with the merges loaded
+    once per worker (operators/bpe.py; same engine lifecycle as q50 and
+    the OCR handle, reference core/ppocr_api.py:40-78). The oracle
+    replays the IDENTICAL merges chain in DuckDB — the SQL is generated
+    from the same BPE_MERGES constant the engine loads."""
+    from .operators.bpe import bpe_token_counts
+
+    d = _t(spark, sf, "documents")
+    return bpe_token_counts(d, "doc_id", "text")
+
+
+def _sql_bpe_tokens() -> str:
+    from .operators.bpe import bpe_count_sql
+
+    return rf"""
+SELECT doc_id,
+       CAST(len(ws) AS BIGINT) AS n_ws_tokens,
+       CAST({bpe_count_sql("ws")} AS BIGINT) AS n_bpe_tokens
+FROM (SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS ws
+      FROM documents)
+"""
+
+
+def q_bpe_budget(spark, sf):
+    """q63: token-budget selection in TOKENIZER units — q51's two-level
+    cumsum consuming the BPE counter instead of whitespace counts (the
+    budget a trainer actually buys is tokenizer tokens). Demonstrates
+    the selection/packing operators are counter-agnostic: the same
+    token_budget_select, fed from the q62 python stage."""
+    from .operators.bpe import bpe_token_counts
+
+    d = _t(spark, sf, "documents")
+    scored = d.select(
+        "doc_id", TX.quality_score(F.col("text")).alias("quality_x1000")
+    ).join(
+        bpe_token_counts(d, "doc_id", "text").select("doc_id", "n_bpe_tokens"),
+        "doc_id",
+    )
+    return SEL.token_budget_select(
+        scored, "doc_id", "quality_x1000", "n_bpe_tokens", budget=15_000
+    )
+
+
+def _sql_bpe_budget() -> str:
+    from .operators.bpe import bpe_count_sql
+
+    return rf"""
+WITH w AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS ws FROM documents
+), m AS (
+  SELECT doc_id, len(ws) AS n,
+         CAST({bpe_count_sql("ws")} AS BIGINT) AS n_bpe_tokens,
+         len(list_filter(ws, x -> list_contains(['the','a','an','and','or','of','to','in','is','it'], lower(x)))) / CAST(len(ws) AS DOUBLE) AS sw,
+         list_sum(list_transform(ws, x -> length(x))) / CAST(len(ws) AS DOUBLE) AS avg_word
+  FROM w
+), s AS (
+  SELECT doc_id,
+    CAST(round(
+      (CASE WHEN n BETWEEN 10 AND 1000 THEN 1.0 ELSE 0.3 END) *
+      (CASE WHEN sw > 0.01 AND sw < 0.6 THEN 1.0 ELSE 0.5 END) *
+      (CASE WHEN avg_word >= 2 AND avg_word <= 12 THEN 1.0 ELSE 0.4 END) * 1000
+    ) AS BIGINT) AS quality_x1000,
+    n_bpe_tokens,
+    (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6)) AS BIGINT) % 1000) % 64 AS shard
+  FROM m
+), c AS (
+  SELECT doc_id, quality_x1000, n_bpe_tokens,
+         SUM(n_bpe_tokens) OVER (ORDER BY quality_x1000 DESC, shard ASC, doc_id ASC
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM s
+)
+SELECT doc_id, quality_x1000, n_bpe_tokens, CAST(cum AS BIGINT) AS cum_tokens
+FROM c WHERE cum <= 15000
+"""
+
+
 def q_corpus_pipeline(spark, sf):
     """q48: the full LLM-corpus pipeline composed end-to-end (round-4
     verdict item 1) — extraction (q30 path) -> quality -> repetition ->
@@ -1580,7 +1659,27 @@ def q_corpus_pipeline(spark, sf):
     return corpus_funnel(doc_text_from_spans(q_extract_flagship(spark, sf)))
 
 
-def _sql_corpus_pipeline() -> str:
+def q_corpus_assembly(spark, sf):
+    """q61: the corpus pipeline's ASSEMBLY tail composed end-to-end
+    (round-5 verdict item 4) — the q48 funnel's survivor set -> quality
+    scoring -> token-budget selection (q51 shape) -> epoch-shuffle
+    sequence packing (q54/q55 shape), returning each selected document's
+    training placement (doc_id, quality_x1000, n_tokens, cum_tokens,
+    seq_id, offset_in_seq). Proves the round-5 selection/packing
+    operators compose below the same checkpoint discipline as the
+    funnel: one scan, one python stage, every window bounded. The
+    oracle replays the WHOLE chain — all eight funnel stages plus the
+    tail — in DuckDB from the flagship fixture and hashes per-row
+    values, not counts."""
+    from .plans.corpus_pipeline import corpus_assembly, doc_text_from_spans
+
+    return corpus_assembly(doc_text_from_spans(q_extract_flagship(spark, sf)))
+
+
+def _sql_corpus_ctes() -> str:
+    """Shared DuckDB CTE chain replaying corpus_stages from the
+    flagship fixture up through s7 (stratified sample) — the common
+    prefix of the q48 funnel oracle and the q61 assembly oracle."""
     return f"""
 WITH RECURSIVE doc_text AS (
   SELECT doc_id, string_agg(text, ' ' ORDER BY "order") AS text
@@ -1693,7 +1792,11 @@ WITH RECURSIVE doc_text AS (
       CAST(CAST(('0x' || substr(md5(doc_id), 1, 6)) AS BIGINT) % 1000 AS BIGINT) AS bucket
     FROM langm)
   WHERE bucket < CASE stratum WHEN 'en' THEN 300 WHEN 'zh' THEN 1000 ELSE 500 END
-)
+)"""
+
+
+def _sql_corpus_pipeline() -> str:
+    return _sql_corpus_ctes() + r"""
 SELECT * FROM (
   SELECT CAST(0 AS BIGINT) AS stage_idx, 'input' AS stage, count(*) AS n_docs FROM doc_text
   UNION ALL SELECT 1, 'quality_gate', count(*) FROM flags WHERE q_ok
@@ -1704,6 +1807,54 @@ SELECT * FROM (
   UNION ALL SELECT 6, 'decontam', count(*) FROM s6
   UNION ALL SELECT 7, 'stratified_sample', count(*) FROM s7
 ) ORDER BY stage_idx
+"""
+
+
+def _sql_corpus_assembly() -> str:
+    # Replays corpus_assembly: s7 survivors (with s6's rebuilt text) ->
+    # quality/token scoring -> token-budget selection (the q51 shape:
+    # SUM OVER (ORDER BY score DESC, md5-shard, doc_id)) -> epoch-shuffle
+    # packing (the q55 shape: token cumsum under md5(salt|id) order).
+    # doc_id is VARCHAR end-to-end (the fixture stores it as string, the
+    # Spark side casts at the base), so the within-shard id order is
+    # string order on both engines.
+    return _sql_corpus_ctes() + r"""
+, asm AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS ws
+  FROM s6 JOIN s7 USING (doc_id)
+), asm_m AS (
+  SELECT doc_id, len(ws) AS n,
+         len(list_filter(ws, x -> list_contains(['the','a','an','and','or','of','to','in','is','it'], lower(x)))) / CAST(len(ws) AS DOUBLE) AS sw,
+         list_sum(list_transform(ws, x -> length(x))) / CAST(len(ws) AS DOUBLE) AS avg_word
+  FROM asm
+), asm_s AS (
+  SELECT doc_id,
+    CAST(round(
+      (CASE WHEN n BETWEEN 10 AND 1000 THEN 1.0 ELSE 0.3 END) *
+      (CASE WHEN sw > 0.01 AND sw < 0.6 THEN 1.0 ELSE 0.5 END) *
+      (CASE WHEN avg_word >= 2 AND avg_word <= 12 THEN 1.0 ELSE 0.4 END) * 1000
+    ) AS BIGINT) AS quality_x1000,
+    CAST(n AS BIGINT) AS n_tokens,
+    (CAST(('0x' || substr(md5(doc_id), 1, 6)) AS BIGINT) % 1000) % 64 AS shard
+  FROM asm_m
+), asm_c AS (
+  SELECT doc_id, quality_x1000, n_tokens,
+         SUM(n_tokens) OVER (ORDER BY quality_x1000 DESC, shard ASC, doc_id ASC
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+  FROM asm_s
+), asm_sel AS (
+  SELECT doc_id, quality_x1000, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
+  FROM asm_c WHERE cum_tokens <= 50000
+), asm_pk AS (
+  SELECT doc_id,
+         SUM(n_tokens) OVER (ORDER BY md5('epoch-0|' || doc_id)
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS start
+  FROM asm_sel
+)
+SELECT s.doc_id, s.quality_x1000, s.n_tokens, s.cum_tokens,
+       CAST(p.start // 512 AS BIGINT) AS seq_id,
+       CAST(p.start % 512 AS BIGINT) AS offset_in_seq
+FROM asm_sel s JOIN asm_pk p USING (doc_id)
 """
 
 
@@ -2380,6 +2531,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q58_sessionize": q_sessionize,
         "q59_sessionize_bucketed": q_sessionize_bucketed,
         "q60_source_reputation": q_source_reputation,
+        "q61_corpus_assembly": q_corpus_assembly,
+        "q62_bpe_tokens": q_bpe_tokens,
+        "q63_bpe_budget": q_bpe_budget,
     }
 
 
@@ -2443,6 +2597,8 @@ def oracle_sql() -> dict[str, str]:
         # q59 is the skew-safe form of the SAME semantics — same oracle
         "q59_sessionize_bucketed": SQL_SESSIONIZE,
         "q60_source_reputation": SQL_SOURCE_REPUTATION,
+        "q62_bpe_tokens": _sql_bpe_tokens(),
+        "q63_bpe_budget": _sql_bpe_budget(),
         # q30: expected output precomputed by the shared pure-Python
         # semantics into a parquet fixture (scripts/build_fixtures.py) —
         # committed only for the oracle scales (sf0.001/sf0.01); at any
@@ -2453,10 +2609,13 @@ def oracle_sql() -> dict[str, str]:
             if os.path.exists(_flagship_fixture_path())
             else {}
         ),
-        # q48 replays the composed pipeline from the same fixture; at any
-        # other sf_dir degrade to the rows-only check like q30
+        # q48/q61 replay the composed pipeline from the same fixture; at
+        # any other sf_dir degrade to the rows-only check like q30
         **(
-            {"q48_corpus_pipeline": _sql_corpus_pipeline()}
+            {
+                "q48_corpus_pipeline": _sql_corpus_pipeline(),
+                "q61_corpus_assembly": _sql_corpus_assembly(),
+            }
             if os.path.exists(_flagship_fixture_path())
             else {}
         ),
