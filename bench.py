@@ -77,6 +77,8 @@ BENCH_QUERIES = [
     "q61_corpus_assembly",
     "q62_bpe_tokens",
     "q63_bpe_budget",
+    "q64_unigram_rarity",
+    "q65_chunk_documents",
 ]
 
 

@@ -287,6 +287,30 @@ def main() -> None:
         ],
     )
 
+    audit(
+        "q64_unigram_rarity",
+        Q.queries()["q64_unigram_rarity"](spark, SF),
+        [
+            # same contract as q56: tf aggregates map-side, the 1-row
+            # total broadcasts (prints as a 1-row BroadcastNestedLoopJoin
+            # by construction), term join strategy left to the planner
+            ("partial counts before shuffles", r"partial_count", True),
+            ("no python anywhere", r"EvalPython|MapInPandas", False),
+            ("no cartesian product", r"CartesianProduct", False),
+        ],
+    )
+    audit(
+        "q65_chunk_documents",
+        Q.queries()["q65_chunk_documents"](spark, SF),
+        [
+            # pure projection: sequence+slice+posexplode in one narrow
+            # stage — chunking must never shuffle or leave the JVM
+            ("no shuffle anywhere", r"Exchange", False),
+            ("no python anywhere", r"EvalPython|MapInPandas", False),
+            ("no join anywhere", r"Join", False),
+        ],
+    )
+
     # bucketed MERGE sink: point lookup must partition-prune in BOTH
     # states — clean (base only) and merge-on-read (base + delta scans,
     # every file source pruned by the same bucket predicate)

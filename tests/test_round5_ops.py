@@ -733,3 +733,85 @@ def test_source_reputation_threshold(spark):
     for v in by_src.values():
         (n, q, k) = next(iter(v))
         assert k == (1 if q >= 700 else 0)
+
+
+def test_unigram_rarity_exact(spark):
+    from xhs_ocr_spark.operators.textops import unigram_rarity
+
+    # corpus: "the" x6, "rare" x1, "word" x3  -> T = 10
+    rows = [
+        Row(id="a", text="the the the word"),
+        Row(id="b", text="the the word word rare"),
+        Row(id="c", text="the"),
+    ]
+    out = {
+        r["id"]: (r["n_tokens"], r["rarity_x1000"], r["keep"])
+        for r in unigram_rarity(
+            spark.createDataFrame(rows), "id", "text", keep_max_x1000=3000
+        ).collect()
+    }
+    # surprisal: the -> 10000//6 = 1666, word -> 10000//3 = 3333,
+    # rare -> 10000//1 = 10000
+    assert out["a"] == (4, (1666 * 3 + 3333) // 4, 1)  # 2082 <= 3000
+    assert out["b"] == (5, (1666 * 2 + 3333 * 2 + 10000) // 5, 0)  # 3999
+    assert out["c"] == (1, 1666, 1)
+
+
+def test_unigram_rarity_saturates(spark):
+    from xhs_ocr_spark.operators.textops import unigram_rarity
+
+    # 2000 occurrences of filler + 1 rare token: (T*1000) DIV 1 would be
+    # 2001000 -> saturated to 10^6 so per-doc sums stay bounded at scale
+    filler = "common " * 1000
+    rows = [Row(id="x", text=filler + "veryrare"), Row(id="y", text=filler.strip())]
+    out = {
+        r["id"]: r["rarity_x1000"]
+        for r in unigram_rarity(
+            spark.createDataFrame(rows), "id", "text"
+        ).collect()
+    }
+    t = 2002  # 2000 common + veryrare + (y has 1000 common)... computed below
+    # T = 1000 + 1 + 1000 = 2001; common tf=2000 -> sur = 2001*1000//2000 = 1000
+    # veryrare tf=1 -> min(10^6, 2001000) = 10^6
+    assert out["y"] == 1000
+    assert out["x"] == (1000 * 1000 + 1_000_000) // 1001
+
+
+def test_chunk_documents_layout(spark):
+    from xhs_ocr_spark.operators.textops import chunk_documents
+
+    words = [f"w{i}" for i in range(80)]
+    rows = [
+        Row(id="a", text=" ".join(words)),  # 80 tokens: chunks at 0,24,48,72
+        Row(id="b", text="only three words"),  # single short chunk
+        Row(id="c", text="   "),  # empty -> no chunks
+    ]
+    out = chunk_documents(
+        spark.createDataFrame(rows), "id", "text", chunk=32, stride=24
+    ).collect()
+    got = {(r["id"], r["chunk_idx"]): (r["n_tokens"], r["chunk_text"]) for r in out}
+    assert {k[0] for k in got} == {"a", "b"}
+    a_idx = sorted(i for (d, i) in got if d == "a")
+    assert a_idx == [0, 1, 2]  # 1 + ceil((80-32)/24) = 3 chunks
+    assert got[("a", 0)] == (32, " ".join(words[0:32]))
+    assert got[("a", 1)] == (32, " ".join(words[24:56]))
+    assert got[("a", 2)] == (32, " ".join(words[48:80]))
+    assert got[("b", 0)] == (3, "only three words")
+
+
+def test_chunk_documents_overlap_covers_stream(spark):
+    from xhs_ocr_spark.operators.textops import chunk_documents
+
+    # every token index is covered by at least one chunk, for assorted n
+    for n in (1, 31, 32, 33, 56, 57, 100):
+        words = [f"t{i}" for i in range(n)]
+        rows = [Row(id="d", text=" ".join(words))]
+        chunks = chunk_documents(
+            spark.createDataFrame(rows), "id", "text", chunk=32, stride=24
+        ).collect()
+        covered = set()
+        for r in chunks:
+            toks = r["chunk_text"].split()
+            assert toks == words[r["chunk_idx"] * 24 : r["chunk_idx"] * 24 + 32]
+            covered.update(toks)
+        assert covered == set(words), n

@@ -260,3 +260,91 @@ def exact_group_quantiles(
             .alias(f"p{int(q)}")
         )
     return ch.groupBy(group_col).agg(*aggs)
+
+
+def unigram_rarity(df, id_col: str, text_col: str, keep_max_x1000: int = 200_000):
+    """CCNet-style language-model filtering stand-in: per-document mean
+    token surprisal under a unigram LM fit on the corpus itself —
+    high-rarity documents are gibberish/boilerplate-coded and get
+    dropped before training (the perplexity gate every web pipeline
+    runs; CCNet buckets pages by LM perplexity the same way).
+
+    Integer-exact so the DuckDB twin matches bit-for-bit: a token's
+    surprisal is least(10^6, (T*1000) DIV tf) — the saturated inverse
+    relative frequency, monotone in -log p(token) per token (rank-
+    preserving; a float log would make ties engine-dependent). The doc
+    score is the integer mean. Saturation bounds every per-doc sum by
+    10^6 * n_tokens regardless of corpus size; the unsaturated branch
+    needs T*1000 < 2^63, i.e. T <= 9.2*10^15 corpus tokens — a 10^12-doc
+    corpus at ~500 tokens/doc (5*10^14) fits with 18x headroom.
+
+    Scale shape: occurrences explode -> tf by groupBy(term) (map-side
+    partial counts collapse hot terms before the shuffle) -> T via a
+    1-row broadcast aggregate (collect-free) -> occurrences join tf on
+    term (shuffle join; hot-term skew handled by AQE skew split, never
+    a forced broadcast of a corpus-sized dim) -> per-doc aggregate.
+
+    Returns (id, n_tokens, rarity_x1000, keep) — keep=1 iff
+    rarity <= keep_max_x1000 (CCNet keeps the LOW-perplexity side)."""
+    occ = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(words(F.lower(F.col(text_col)))).alias("term"),
+    )
+    tf = occ.groupBy("term").agg(F.count(F.lit(1)).alias("tf"))
+    total = occ.select(F.count(F.lit(1)).cast("long").alias("_t"))
+    sur = (
+        occ.join(tf, "term")
+        .crossJoin(F.broadcast(total))
+        .withColumn("_sur", F.expr("least(CAST(1000000 AS BIGINT), (_t * 1000) DIV tf)"))
+    )
+    return (
+        sur.groupBy("id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.expr("CAST(sum(_sur) DIV count(1) AS BIGINT)").alias("rarity_x1000"),
+        )
+        .withColumn(
+            "keep",
+            (F.col("rarity_x1000") <= F.lit(int(keep_max_x1000)))
+            .cast("long")
+            .alias("keep"),
+        )
+    )
+
+
+def chunk_documents(df, id_col: str, text_col: str, chunk: int = 32, stride: int = 24):
+    """Retrieval chunking: cut each document's token stream into
+    fixed-size windows with overlap (chunk=32, stride=24 -> 8-token
+    overlap) — the RAG-ingestion sibling of training-sequence packing
+    (q55 packs a global stream; this emits per-document chunks with
+    their text, the unit an embedding/retrieval index stores).
+
+    Chunk count is 1 + ceil((n - chunk) / stride) for n > chunk, else 1
+    (empty documents emit no chunks); the final chunk is the tail
+    remainder. Pure JVM expressions (sequence + slice inside a single
+    projection — no explode-then-join, no python), so it runs at scan
+    speed and parallelizes with the input partitioning at any corpus
+    size.
+
+    Returns (id, chunk_idx, n_tokens, chunk_text)."""
+    toks = df.select(
+        F.col(id_col).alias("id"), words(F.col(text_col)).alias("_ws")
+    ).where(F.size("_ws") > 0)  # F.sequence(1, 0) counts DOWN — guard empties
+    c, s = int(chunk), int(stride)
+    n_chunks = F.when(F.size("_ws") <= c, F.lit(1)).otherwise(
+        F.lit(1) + (F.size("_ws") - F.lit(c) + F.lit(s - 1)) .cast("long") / F.lit(s)
+    )
+    base = toks.select(
+        "id",
+        "_ws",
+        F.posexplode(
+            F.sequence(F.lit(1), F.floor(n_chunks).cast("int"))
+        ).alias("_i", "_one"),
+    )
+    sl = F.slice(F.col("_ws"), F.col("_i") * s + 1, c)
+    return base.select(
+        "id",
+        F.col("_i").cast("long").alias("chunk_idx"),
+        F.size(sl).cast("long").alias("n_tokens"),
+        F.array_join(sl, " ").alias("chunk_text"),
+    )

@@ -1566,6 +1566,67 @@ FROM q JOIN rep USING (source)
 """
 
 
+def q_unigram_rarity(spark, sf):
+    """q64: unigram-LM perplexity-filter stand-in (CCNet-style) — each
+    document's mean token surprisal under a unigram model fit on the
+    corpus itself, with keep = the low-perplexity side. Integer-exact
+    saturated surprisal (least(10^6, (T*1000) DIV tf)) so the oracle
+    matches bit-for-bit; see textops.unigram_rarity for the scale shape
+    (map-side tf partials, broadcast 1-row total, AQE-skew-safe term
+    join)."""
+    d = _t(spark, sf, "documents")
+    return TX.unigram_rarity(d, "doc_id", "text", keep_max_x1000=30_150)
+
+
+SQL_UNIGRAM_RARITY = r"""
+WITH occ AS (
+  SELECT doc_id AS id,
+         unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), x -> x <> '')) AS term
+  FROM documents
+), tf AS (
+  SELECT term, count(*) AS tf FROM occ GROUP BY term
+), tot AS (
+  SELECT count(*) AS t FROM occ
+)
+SELECT id, CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(least(1000000, (t * 1000) // tf)) // count(*) AS BIGINT) AS rarity_x1000,
+       CAST(CASE WHEN sum(least(1000000, (t * 1000) // tf)) // count(*) <= 30150
+                 THEN 1 ELSE 0 END AS BIGINT) AS keep
+FROM occ JOIN tf USING (term) CROSS JOIN tot
+GROUP BY id
+"""
+
+
+def q_chunk_documents(spark, sf):
+    """q65: retrieval chunking — fixed-size token windows with overlap
+    (32-token chunks, stride 24), the RAG-ingestion sibling of q55's
+    training packing: per-document chunks WITH their text, the unit an
+    embedding index stores. Pure JVM sequence+slice in one projection
+    (no explode-then-join, no python) — scan-speed at any corpus size."""
+    d = _t(spark, sf, "documents")
+    return TX.chunk_documents(d, "doc_id", "text", chunk=32, stride=24)
+
+
+SQL_CHUNK_DOCUMENTS = r"""
+WITH w AS (
+  SELECT doc_id AS id,
+         list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS ws
+  FROM documents
+), nn AS (
+  SELECT id, ws, len(ws) AS n FROM w WHERE len(ws) > 0
+), idx AS (
+  SELECT id, ws, n,
+         unnest(generate_series(0,
+           CASE WHEN n <= 32 THEN 0 ELSE CAST(ceil((n - 32) / 24.0) AS BIGINT) END)) AS i
+  FROM nn
+)
+SELECT id, CAST(i AS BIGINT) AS chunk_idx,
+       CAST(len(ws[i*24+1:least(i*24+32, n)]) AS BIGINT) AS n_tokens,
+       array_to_string(ws[i*24+1:least(i*24+32, n)], ' ') AS chunk_text
+FROM idx
+"""
+
+
 def q_bpe_tokens(spark, sf):
     """q62: BPE-faithful token counting (round-5 verdict item 6) —
     whitespace vs tokenizer-unit counts per document under a
@@ -2534,6 +2595,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q61_corpus_assembly": q_corpus_assembly,
         "q62_bpe_tokens": q_bpe_tokens,
         "q63_bpe_budget": q_bpe_budget,
+        "q64_unigram_rarity": q_unigram_rarity,
+        "q65_chunk_documents": q_chunk_documents,
     }
 
 
@@ -2599,6 +2662,8 @@ def oracle_sql() -> dict[str, str]:
         "q60_source_reputation": SQL_SOURCE_REPUTATION,
         "q62_bpe_tokens": _sql_bpe_tokens(),
         "q63_bpe_budget": _sql_bpe_budget(),
+        "q64_unigram_rarity": SQL_UNIGRAM_RARITY,
+        "q65_chunk_documents": SQL_CHUNK_DOCUMENTS,
         # q30: expected output precomputed by the shared pure-Python
         # semantics into a parquet fixture (scripts/build_fixtures.py) —
         # committed only for the oracle scales (sf0.001/sf0.01); at any
