@@ -39,7 +39,9 @@ def _texts(df) -> dict[str, str]:
     return {r["doc_id"]: r["text"] for r in df.select("doc_id", "text").collect()}
 
 
-def test_incremental_matches_full_rerun(spark):
+def planted_corpus_and_batch():
+    """(corpus, batch) dicts shared by the batch-parity and streaming
+    tests — see the collision-matrix comments inline."""
     # the eval stand-in doc is LONG on purpose: the contamination plant
     # (109) must clear the 50% shingle-hit gate while staying below LSH
     # band sensitivity vs this very doc (it is in the corpus band index)
@@ -146,6 +148,11 @@ def test_incremental_matches_full_rerun(spark):
         "111": "zz",  # fails the quality gate
     }
 
+    return corpus, batch
+
+
+def test_incremental_matches_full_rerun(spark):
+    corpus, batch = planted_corpus_and_batch()
     c_df = _mk(spark, corpus)
     b_df = _mk(spark, batch)
     u_df = _mk(spark, {**corpus, **batch})

@@ -200,6 +200,48 @@ def corpus_survivors(doc_text: DataFrame) -> DataFrame:
     return corpus_stages(doc_text)["stratified_sample"]
 
 
+def funnel_probe_indexes(
+    stages: dict[str, DataFrame],
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """The three dedup probe indexes a funnel run contributes, derived
+    from its stage frames — the same derivation serves (a) building the
+    corpus-side indexes for incremental_batch_stages and (b) computing a
+    processed batch's index DELTA in the streaming form (the batch's
+    own survivors/entrants are tomorrow's corpus):
+    - fp_index(fp): fingerprints of the exact-dedup survivors (one
+      survivor per fp, so survivor fps ARE all fps seen);
+    - para_index(fp): md5 of the kept paragraphs (a dropped paragraph
+      shares its md5 with a kept one, so kept-para md5s cover all);
+    - band_index(band): LSH band keys of every doc that reached the
+      near-dup stage (a doc dropped there still blocks new copies)."""
+    from ..operators.dedup_fuzzy import (
+        band_keys,
+        hashed_shingles,
+        paragraphs,
+        signature_from_hashed,
+    )
+
+    fp_index = stages["exact_dedup"].select(
+        TX.fingerprint(F.col("text")).alias("fp")
+    )
+    para_index = (
+        stages["paragraph_dedup"]
+        .select(F.explode(paragraphs(F.col("text"), 4)).alias("para"))
+        .where(F.col("para") != "")
+        .select(F.md5(F.lower(F.col("para"))).alias("fp"))
+    )
+    band_index = (
+        stages["paragraph_dedup"]
+        .select(
+            F.explode(
+                band_keys(signature_from_hashed(hashed_shingles(F.col("text"))))
+            ).alias("band")
+        )
+        .distinct()
+    )
+    return fp_index, para_index, band_index
+
+
 def incremental_batch_stages(
     corpus_doc_text: DataFrame,
     batch_doc_text: DataFrame,
@@ -247,6 +289,43 @@ def incremental_batch_stages(
 
     Returns the batch-side stage frames under the corpus_stages keys
     (counts comparable to a batch funnel) plus 'corpus_input'."""
+    corpus = corpus_stages(corpus_doc_text, stage_checkpoints=stage_checkpoints)
+    fp_index, para_index, band_index = funnel_probe_indexes(corpus)
+    cast = lambda d: d.select(  # noqa: E731
+        F.col("doc_id").cast("string").alias("doc_id"), "text"
+    )
+    ev = (
+        cast(corpus_doc_text)
+        .unionByName(cast(batch_doc_text))
+        .where(F.col("doc_id").cast("bigint") % EVAL_MOD == 0)
+    )
+    out = incremental_batch_stages_vs_indexes(
+        batch_doc_text,
+        fp_index,
+        para_index,
+        band_index,
+        ev,
+        stage_checkpoints=stage_checkpoints,
+    )
+    out["corpus_input"] = corpus["input"]
+    return out
+
+
+def incremental_batch_stages_vs_indexes(
+    batch_doc_text: DataFrame,
+    fp_index: DataFrame,
+    para_index: DataFrame,
+    band_index: DataFrame,
+    eval_doc_text: DataFrame,
+    stage_checkpoints: bool = True,
+) -> dict[str, DataFrame]:
+    """Core of the incremental funnel, taking the three probe indexes
+    DIRECTLY (fp_index(fp), para_index(fp), band_index(band)) plus the
+    eval stand-in frame — the form the STREAMING pipeline drives, where
+    the indexes are persisted tables appended per processed batch
+    (funnel_probe_indexes of each batch's own stages) rather than
+    re-derived from a corpus funnel. O(batch + index probes) per call;
+    semantics documented on incremental_batch_stages."""
     from ..operators.dedup_fuzzy import (
         band_keys,
         hashed_shingles,
@@ -255,8 +334,6 @@ def incremental_batch_stages(
         paragraphs,
         signature_from_hashed,
     )
-
-    corpus = corpus_stages(corpus_doc_text, stage_checkpoints=stage_checkpoints)
 
     base = batch_doc_text.select(
         F.col("doc_id").cast("string").alias("doc_id"), "text"
@@ -268,9 +345,6 @@ def incremental_batch_stages(
     s1, s2, scrubbed = _gate_frames(base)
 
     # ---- exact dedup: within-batch first-wins + corpus fp probe ----
-    fp_index = corpus["exact_dedup"].select(
-        TX.fingerprint(F.col("text")).alias("fp")
-    )
     bfp = scrubbed.select(
         "doc_id", "text", TX.fingerprint(F.col("text")).alias("fp")
     )
@@ -283,11 +357,6 @@ def incremental_batch_stages(
     )
 
     # ---- paragraph dedup: corpus para-fp probe + within-batch ----
-    para_index = corpus["paragraph_dedup"].select(
-        F.explode(paragraphs(F.col("text"), 4)).alias("para")
-    ).where(F.col("para") != "").select(
-        F.md5(F.lower(F.col("para"))).alias("fp")
-    )
     parts = base.sparkSession.sparkContext.defaultParallelism * 2
     p = (
         s3.select(
@@ -324,11 +393,6 @@ def incremental_batch_stages(
     )
 
     # ---- near-dup: within-batch components + corpus band probe ----
-    band_index = corpus["paragraph_dedup"].select(
-        F.explode(
-            band_keys(signature_from_hashed(hashed_shingles(F.col("text"))))
-        ).alias("band")
-    ).distinct()
     b_bands = s4.select(
         "doc_id",
         F.explode(
@@ -368,10 +432,10 @@ def incremental_batch_stages(
         .select("doc_id", "text")
     )
 
-    # ---- decontam (eval set spans both bases) + stratified sample ----
-    union_base = corpus["input"].unionByName(base)
-    ev = union_base.where(F.col("doc_id").cast("bigint") % EVAL_MOD == 0)
-    dc = DF.decontam_flags_join(s5, "doc_id", "text", ev, threshold_x1000=500)
+    # ---- decontam (fixed external eval stand-in) + stratified sample ----
+    dc = DF.decontam_flags_join(
+        s5, "doc_id", "text", eval_doc_text, threshold_x1000=500
+    )
     s6 = stage(
         s5.join(
             dc.where(F.col("contaminated") == 0).select(F.col("id").alias("doc_id")),
@@ -384,7 +448,6 @@ def incremental_batch_stages(
     )
 
     return {
-        "corpus_input": corpus["input"],
         "input": base,
         "quality_gate": s1,
         "repetition_gate": s2,
