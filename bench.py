@@ -74,11 +74,20 @@ BENCH_QUERIES = [
     "q58_sessionize",
     "q59_sessionize_bucketed",
     "q60_source_reputation",
-    "q61_corpus_assembly",
     "q62_bpe_tokens",
     "q63_bpe_budget",
     "q64_unigram_rarity",
     "q65_chunk_documents",
+]
+
+# Composed whole-pipeline queries are timed ONCE per attempt instead of
+# riding the interleaved best-of-N rounds: q61 runs the entire funnel +
+# assembly (~15s at sf0.1) — three interleaved copies would double the
+# attempt wall-time and push the sustained-band drift the calibrations
+# exist to catch. Still timed and recorded every attempt (the rule from
+# round-5 verdict item 3: no query lands without a timing).
+COMPOSED_ONCE = [
+    "q61_corpus_assembly",
 ]
 
 
@@ -219,6 +228,8 @@ def main() -> None:
     extract_spans_flat(corpus).count()  # warm-up
     for name in BENCH_QUERIES:
         qs[name](spark, sf_dir).count()
+    for name in COMPOSED_ONCE:
+        qs[name](spark, sf_dir).count()
 
     def timed_section() -> dict:
         extract_secs: list[float] = []
@@ -235,6 +246,10 @@ def main() -> None:
         extract_sec = min(extract_secs)
         timings = {n: round(min(ts), 3) for n, ts in samples.items()}
         timings["q30_extract_flagship"] = round(extract_sec, 3)
+        for name in COMPOSED_ONCE:  # single pass per attempt (see note)
+            t0 = time.time()
+            qs[name](spark, sf_dir).count()
+            timings[name] = round(time.time() - t0, 3)
         # per-query max/min ratio — the variance record the judge asked for
         spread = {n: round(max(ts) / min(ts), 2) for n, ts in samples.items()}
         spread["q30_extract_flagship"] = round(max(extract_secs) / extract_sec, 2)

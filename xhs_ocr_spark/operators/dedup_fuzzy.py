@@ -979,20 +979,23 @@ def ngram_jaccard_pairs(
         # AFTER aggregation would first materialize one O(|posting|)
         # aggregate row for the hottest shingle (a stopword shingle with
         # 10^8 ids = one multi-GB row in a single task) before dropping
-        # it. Pre-filter with a bounded count aggregate (partial-agg
-        # safe: only (key, partial_count) rows cross the shuffle), keep
-        # keys with df <= max_df, left-semi join the index against that,
-        # THEN collect — the set is genuinely bounded by max_df by the
-        # time it is built. Index rows are distinct (id, sh) pairs, so
-        # count(*) IS the posting's document frequency.
-        small_keys = (
-            ex.groupBy(*group_keys)
-            .agg(F.count("*").alias("_df"))
-            .where(F.col("_df") <= max_df)
-            .select(*group_keys)
-        )
+        # it. Guard shape (measured at sf0.1, fast band): a window
+        # count(*) over the posting partition, filtered BEFORE the
+        # collect_set — rows of a hot posting pass through one task's
+        # EXTERNAL sort (spill-safe, never one heap object) and die at
+        # the filter; the groupBy then reuses the window's hash
+        # partitioning, so the guard costs ~0.4s over the unguarded
+        # aggregate (2.99 vs 2.58) where the alternatives measured
+        # worse: count-aggregate + left-semi join 3.41 (second shuffle
+        # of the full index), hot-key left-anti join 10.5 (SMJ + index
+        # re-derivation under both consumers). Index rows are distinct
+        # (id, sh) pairs, so count(*) IS the document frequency.
+        from pyspark.sql.window import Window as _W
+
+        w_df = _W.partitionBy(*group_keys)
         buckets = (
-            ex.join(small_keys, group_keys, "left_semi")
+            ex.withColumn("_df", F.count(F.lit(1)).over(w_df))
+            .where(F.col("_df") <= max_df)
             .groupBy(*group_keys)
             .agg(F.sort_array(F.collect_set("id")).alias("ids"))
         )
