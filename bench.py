@@ -235,6 +235,16 @@ def main() -> None:
         extract_secs: list[float] = []
         samples: dict[str, list[float]] = {name: [] for name in BENCH_QUERIES}
         out_rows = 0
+        composed: dict[str, float] = {}
+        for name in COMPOSED_ONCE:
+            # single pass per attempt (see COMPOSED_ONCE note); timed
+            # FIRST so the post-section mc/sustained calibrations read
+            # the same machine state they read before q61 existed —
+            # 15s of funnel churn right before cal_mc depressed it past
+            # the threshold on otherwise-fast attempts
+            t0 = time.time()
+            qs[name](spark, sf_dir).count()
+            composed[name] = round(time.time() - t0, 3)
         for _ in range(rounds):
             t0 = time.time()
             out_rows = extract_spans_flat(corpus).count()
@@ -246,10 +256,7 @@ def main() -> None:
         extract_sec = min(extract_secs)
         timings = {n: round(min(ts), 3) for n, ts in samples.items()}
         timings["q30_extract_flagship"] = round(extract_sec, 3)
-        for name in COMPOSED_ONCE:  # single pass per attempt (see note)
-            t0 = time.time()
-            qs[name](spark, sf_dir).count()
-            timings[name] = round(time.time() - t0, 3)
+        timings.update(composed)
         # per-query max/min ratio — the variance record the judge asked for
         spread = {n: round(max(ts) / min(ts), 2) for n, ts in samples.items()}
         spread["q30_extract_flagship"] = round(max(extract_secs) / extract_sec, 2)
