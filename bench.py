@@ -245,6 +245,7 @@ def main() -> None:
             t0 = time.time()
             qs[name](spark, sf_dir).count()
             composed[name] = round(time.time() - t0, 3)
+        cal_mids: list[float] = []
         for _ in range(rounds):
             t0 = time.time()
             out_rows = extract_spans_flat(corpus).count()
@@ -253,6 +254,12 @@ def main() -> None:
                 t0 = time.time()
                 qs[name](spark, sf_dir).count()
                 samples[name].append(time.time() - t0)
+            # mid-section calibration: the flanking cals bracket a
+            # ~4-minute section and miss band dips INSIDE it (observed:
+            # q27 4.74s within a fully-certified attempt while its two
+            # other samples read ~3.0s) — a per-round probe makes the
+            # fast certificate mean fast THROUGHOUT
+            cal_mids.append(vm_calibration_sec())
         extract_sec = min(extract_secs)
         timings = {n: round(min(ts), 3) for n, ts in samples.items()}
         timings["q30_extract_flagship"] = round(extract_sec, 3)
@@ -265,6 +272,7 @@ def main() -> None:
             "timings": timings,
             "spread": spread,
             "out_rows": out_rows,
+            "cal_mids": cal_mids,
         }
 
     # fast-band-by-construction (round-3 verdict item: the r03 artifact
@@ -295,6 +303,7 @@ def main() -> None:
         rec = {
             "cal_pre": a_pre,
             "cal_post": a_post,
+            "cal_mids": result["cal_mids"],
             "cal_mc": a_mc,
             "cal_sustained_32p": a_sus,
             "docs_per_sec": round(result["docs_per_sec"], 2),
@@ -315,6 +324,7 @@ def main() -> None:
         if (
             a_pre <= cal_threshold
             and a_post <= cal_threshold
+            and all(m <= cal_threshold for m in result["cal_mids"])
             and a_mc <= cal_mc_threshold
             and a_sus <= cal_sus_threshold
         ):
