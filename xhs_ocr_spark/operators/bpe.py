@@ -142,6 +142,13 @@ class _BpeEngine:
 
         return texts.map(one)
 
+    def count_tokenized(self, docs: list[list[str]]) -> list[int]:
+        """BPE counts over pre-split word lists — the batch entry point
+        (the caller splits once and reuses the lists for the whitespace
+        count; count_batch stays as the per-text form tests pin)."""
+        wc = self._word_count
+        return [sum(wc(w) for w in ws) for ws in docs]
+
 
 def bpe_token_counts(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(id, n_ws_tokens, n_bpe_tokens): whitespace vs tokenizer-unit
@@ -153,21 +160,34 @@ def bpe_token_counts(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     def count(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         engine = _BpeEngine.get()  # BEFORE the batch loop (U1)
         for pdf in batches:
-            texts = pdf["__text"]
-            ws = texts.map(
-                lambda t: 0 if t is None else len([x for x in _WS.split(t.strip()) if x])
-            )
+            # split each text ONCE (r7: the old form split per text for
+            # the whitespace count AND re-split inside count_batch —
+            # tokenization was ~half the python stage)
+            docs = [
+                [] if t is None else [x for x in _WS.split(t.strip()) if x]
+                for t in pdf["__text"]
+            ]
             yield pd.DataFrame(
                 {
                     "__id": pdf["__id"],
-                    "n_ws_tokens": ws.astype("int64"),
-                    "n_bpe_tokens": engine.count_batch(texts).astype("int64"),
+                    "n_ws_tokens": pd.Series(
+                        [len(ws) for ws in docs], index=pdf.index, dtype="int64"
+                    ),
+                    "n_bpe_tokens": pd.Series(
+                        engine.count_tokenized(docs), index=pdf.index, dtype="int64"
+                    ),
                 }
             )
 
+    # spread before the python stage (r7, guide §4/§2): the documents
+    # parquet is a single scan partition, so without an exchange the
+    # whole tokenizer stage ran in ONE python worker (measured: q62 was
+    # a 1-task stage). Hash-repartition on the id spreads the Arrow
+    # batches across every worker.
+    parts = df.sparkSession.sparkContext.defaultParallelism * 2
     src = df.select(
         F.col(id_col).alias("__id"), F.col(text_col).alias("__text")
-    )
+    ).repartition(parts, "__id")
     out_schema = f"__id {src.schema['__id'].dataType.simpleString()}, n_ws_tokens bigint, n_bpe_tokens bigint"
     return src.mapInPandas(count, out_schema).withColumnRenamed("__id", id_col)
 

@@ -59,9 +59,19 @@ def token_budget_select(
     names preserved from the input.
     """
     shard = (sample_bucket_x1000(F.col(id_col)) % n_shards).alias("_shard")
+    # Staging barrier (round-6 verdict item 1): ``base`` has TWO consumers
+    # — the per-(score, shard) aggregate and the per-row window join —
+    # and without a barrier Catalyst re-derives the WHOLE input subtree
+    # under each (q63's BPE tokenizer MapInPandas ran twice; committed
+    # plan BENCH/plans/q63_bpe_budget.txt r6). A repartition on the id
+    # makes both consumers' subtrees identical up to this exchange, so
+    # the physical plan reuses ONE exchange (ReusedExchange) and the
+    # input — scan, scoring, tokenizer python stage — runs exactly once.
+    # Same discipline as paragraph_dedup's shared fp exchange.
+    parts = df.sparkSession.sparkContext.defaultParallelism * 2
     base = df.select(
         F.col(id_col), F.col(score_col), F.col(tokens_col), shard
-    )
+    ).repartition(parts, id_col)
 
     # Per-(score, shard) totals: bounded cardinality regardless of |df|.
     grp = base.groupBy(score_col, "_shard").agg(

@@ -100,6 +100,13 @@ def sessionize_bucketed(
         "_brk", brk
     )
     rows = rows.withColumn("_local", F.sum("_brk").over(wc))
+    # r7: ``rows`` (scan + the per-(key, bucket) window) has two
+    # consumers — the summary aggregate and the final join's probe side
+    # — and re-derived whole under each. A repartition on the window's
+    # own partition keys gives both consumers one shared exchange
+    # (ReusedExchange), so the event scan and the window run once.
+    parts = df.sparkSession.sparkContext.defaultParallelism * 2
+    rows = rows.repartition(parts, key_col, "_bkt")
 
     summ = rows.groupBy(key_col, "_bkt").agg(
         F.min(ts_col).alias("_first_ts"),

@@ -25,7 +25,20 @@ def hyperplane(dim: int, p: int) -> list[float]:
     return [((2654435761 * (p * dim + j + 1)) % PLANE_MOD) / PLANE_MOD - 0.5 for j in range(dim)]
 
 
-def dot(a, b):
+def dot(a, b, dim: int | None = None):
+    """Dot product of two array columns in double precision (HOF left
+    fold: products via zip_with, sequential sum from 0.0).
+
+    ``dim`` is accepted for API stability but does not change the
+    evaluation: an r7 A/B unrolled the fold into a fixed-width
+    ``((0.0 + a[1]*b[1]) + a[2]*b[2]) + ...`` element_at chain expecting
+    whole-stage codegen to beat the CodegenFallback HOF — measured the
+    OPPOSITE at the driver's sf1.0 scale (19M-pair verify stage: HOF
+    22s, unrolled 85-93s; the 128-element_at tree blows the generated
+    method past the JIT's huge-method limit, so it runs as interpreted
+    bytecode over a much deeper expression tree). The fold stays HOF;
+    the per-PAIR cost is instead cut by hoisting per-VECTOR work (norms)
+    out of the pair predicate — see lsh_near_neighbors/cosine_topk."""
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
@@ -33,12 +46,12 @@ def dot(a, b):
     )
 
 
-def norm(a):
-    return F.sqrt(dot(a, a))
+def norm(a, dim: int | None = None):
+    return F.sqrt(dot(a, a, dim))
 
 
-def cosine(a, b):
-    return dot(a, b) / (norm(a) * norm(b))
+def cosine(a, b, dim: int | None = None):
+    return dot(a, b, dim) / (norm(a, dim) * norm(b, dim))
 
 
 def cosine_topk(
@@ -47,23 +60,36 @@ def cosine_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 3,
+    dim: int | None = None,
 ) -> DataFrame:
     """For each query vector: top-k corpus neighbors by cosine (self
-    excluded). Query side is broadcast; ranking via window."""
+    excluded). Query side is broadcast; ranking via window.
+
+    Per-pair work is ONE dot fold: each side's norm — a per-VECTOR
+    quantity — is computed once in its own projection and the pair
+    cosine divides by the product of the two precomputed norms, which
+    multiplies the SAME two sqrt values the inline cosine() did
+    (bit-identical; r7, same hoist as lsh_near_neighbors)."""
     q = queries.select(
-        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
+        F.col(id_col).alias("q_id"),
+        F.col(vec_col).alias("q_vec"),
+        norm(F.col(vec_col)).alias("q_nrm"),
     )
     parts = corpus.sparkSession.sparkContext.defaultParallelism * 2
     c = corpus.select(
         F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_vec")
     ).repartition(parts, "n_id")  # scan is 1 file; spread the scoring
+    cn = c.select("n_id", "n_vec", norm(F.col("n_vec")).alias("n_nrm"))
     scored = (
-        c.crossJoin(F.broadcast(q))
+        cn.crossJoin(F.broadcast(q))
         .where(F.col("n_id") != F.col("q_id"))
         .select(
             "q_id",
             "n_id",
-            cosine(F.col("q_vec"), F.col("n_vec")).alias("cos"),
+            (
+                dot(F.col("q_vec"), F.col("n_vec"))
+                / (F.col("q_nrm") * F.col("n_nrm"))
+            ).alias("cos"),
         )
     )
     w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("n_id").asc())
@@ -79,9 +105,9 @@ def lsh_bucket(vec_col, dim: int, n_planes: int = N_PLANES):
     out = F.lit(0).cast("long")
     for p in range(n_planes):
         plane = F.array([F.lit(v) for v in hyperplane(dim, p)])
-        out = out + F.when(dot(vec_col, plane) > 0, F.lit(2**p).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
+        out = out + F.when(
+            dot(vec_col, plane, dim) > 0, F.lit(2**p).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
     return out
 
 
@@ -109,7 +135,10 @@ def ivf_cell(vec_col, dim: int, n_cells: int = N_CELLS):
     At real scale centroids come from k-means over a sample; here they are
     deterministic so the DuckDB oracle reproduces the assignment exactly."""
     dots = F.array(
-        *[dot(vec_col, F.array([F.lit(v) for v in centroid(dim, c)])) for c in range(n_cells)]
+        *[
+            dot(vec_col, F.array([F.lit(v) for v in centroid(dim, c)]), dim)
+            for c in range(n_cells)
+        ]
     )
     return (F.array_position(dots, F.array_max(dots)) - 1).cast("int")
 
@@ -135,17 +164,30 @@ def ivf_topk(
     c = (
         corpus.select(F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_vec"))
         .repartition(parts, "n_id")
-        .select("n_id", "n_vec", ivf_cell(F.col("n_vec"), dim, n_cells).alias("cell"))
+        .select(
+            "n_id",
+            "n_vec",
+            ivf_cell(F.col("n_vec"), dim, n_cells).alias("cell"),
+            norm(F.col("n_vec")).alias("n_nrm"),  # per-vector, not per-pair (r7)
+        )
     )
     q = queries.select(
         F.col(id_col).alias("q_id"),
         F.col(vec_col).alias("q_vec"),
         ivf_cell(F.col(vec_col), dim, n_cells).alias("cell"),
+        norm(F.col(vec_col)).alias("q_nrm"),
     )
     scored = (
         c.join(F.broadcast(q), on="cell")
         .where(F.col("n_id") != F.col("q_id"))
-        .select("q_id", "n_id", cosine(F.col("q_vec"), F.col("n_vec")).alias("cos"))
+        .select(
+            "q_id",
+            "n_id",
+            (
+                dot(F.col("q_vec"), F.col("n_vec"))
+                / (F.col("q_nrm") * F.col("n_nrm"))
+            ).alias("cos"),
+        )
     )
     w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("n_id").asc())
     return (
@@ -232,7 +274,7 @@ def cell_assign(vec_col, centroids: list[list[float]]):
     are unit vectors (spherical fit), so this is argmax-cosine without
     needing to normalize the corpus vectors."""
     dots = F.array(
-        *[dot(vec_col, F.array([F.lit(v) for v in c])) for c in centroids]
+        *[dot(vec_col, F.array([F.lit(v) for v in c]), len(c)) for c in centroids]
     )
     return (F.array_position(dots, F.array_max(dots)) - 1).cast("int")
 
@@ -244,7 +286,9 @@ def probe_cells(vec_col, centroids: list[list[float]], nprobe: int):
         F.array(
             *[
                 F.struct(
-                    (-dot(vec_col, F.array([F.lit(v) for v in c]))).alias("nd"),
+                    (-dot(vec_col, F.array([F.lit(v) for v in c]), len(c))).alias(
+                        "nd"
+                    ),
                     F.lit(i).cast("int").alias("cell"),
                 )
                 for i, c in enumerate(centroids)
@@ -286,17 +330,26 @@ def ivf_topk_kmeans(
             F.explode(
                 probe_cells(F.col("n_vec"), centroids, assign_cells)
             ).alias("cell"),
+            norm(F.col("n_vec")).alias("n_nrm"),  # per-vector, not per-pair (r7)
         )
     )
     q = queries.select(
         F.col(id_col).alias("q_id"),
         F.col(vec_col).alias("q_vec"),
         F.explode(probe_cells(F.col(vec_col), centroids, nprobe)).alias("cell"),
+        norm(F.col(vec_col)).alias("q_nrm"),
     )
     scored = (
         c.join(F.broadcast(q), on="cell")
         .where(F.col("n_id") != F.col("q_id"))
-        .select("q_id", "n_id", cosine(F.col("q_vec"), F.col("n_vec")).alias("cos"))
+        .select(
+            "q_id",
+            "n_id",
+            (
+                dot(F.col("q_vec"), F.col("n_vec"))
+                / (F.col("q_nrm") * F.col("n_nrm"))
+            ).alias("cos"),
+        )
         .groupBy("q_id", "n_id")
         .agg(F.max("cos").alias("cos"))  # dedupe multi-cell matches
     )
@@ -339,17 +392,47 @@ def lsh_near_neighbors(
     from .dedup_fuzzy import sharded_bucket_pairs
 
     parts = df.sparkSession.sparkContext.defaultParallelism * 2
-    # spread before the bucket expression: the sign-bit dots are
-    # n_planes*dim multiplies per row in interpreted HOF eval, and the
-    # testdata parquet is a single scan partition
+    # spread before the bucket expression (the testdata parquet is a
+    # single scan partition)
     v = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec")).repartition(
         parts, "id"
     )
     b = v.select("id", lsh_bucket(F.col("vec"), dim, n_planes).alias("bucket"))
     pairs = sharded_bucket_pairs(b, ["bucket"])
+    # Verify-stage shape (r7): the cosine runs once PER PAIR, and the
+    # old inline cosine() folded THREE HOF dots per pair (dot(a,b) +
+    # both norms). Each vector's norm is a per-VECTOR quantity — compute
+    # it once here (N rows) and the per-pair predicate becomes ONE dot
+    # fold divided by the product of the two precomputed norms.
+    # sqrt(dot(v,v)) on the same data is the same expression whether
+    # evaluated per row or per pair, and nrm_a*nrm_b multiplies the SAME
+    # two sqrt values the old cosine() did — bit-identical output,
+    # pinned by tests/test_round7_opt.py and an old-vs-new full-output
+    # hash at sf0.1 AND sf1.0 (1.67M pairs). Measured at the driver's
+    # sf1.0 scale: 22.2s -> 8.4s (the A/B'd alternatives — unrolled
+    # element_at chains, a post-join exchange barrier, an Arrow/numpy
+    # verify stage — all measured slower; see OPTIMIZATION_r07.md).
+    vn = v.select("id", "vec", norm(F.col("vec"), dim).alias("nrm"))
     return (
-        pairs.join(v.select(F.col("id").alias("id_a"), F.col("vec").alias("vec_a")), "id_a")
-        .join(v.select(F.col("id").alias("id_b"), F.col("vec").alias("vec_b")), "id_b")
-        .where(cosine(F.col("vec_a"), F.col("vec_b")) >= min_cos)
+        pairs.join(
+            vn.select(
+                F.col("id").alias("id_a"),
+                F.col("vec").alias("vec_a"),
+                F.col("nrm").alias("nrm_a"),
+            ),
+            "id_a",
+        )
+        .join(
+            vn.select(
+                F.col("id").alias("id_b"),
+                F.col("vec").alias("vec_b"),
+                F.col("nrm").alias("nrm_b"),
+            ),
+            "id_b",
+        )
+        .where(
+            dot(F.col("vec_a"), F.col("vec_b"), dim) / (F.col("nrm_a") * F.col("nrm_b"))
+            >= min_cos
+        )
         .select("id_a", "id_b")
     )

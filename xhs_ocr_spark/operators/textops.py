@@ -286,12 +286,22 @@ def unigram_rarity(df, id_col: str, text_col: str, keep_max_x1000: int = 200_000
 
     Returns (id, n_tokens, rarity_x1000, keep) — keep=1 iff
     rarity <= keep_max_x1000 (CCNet keeps the LOW-perplexity side)."""
+    # r7 (round-6 ADVICE): occ had THREE consumers (tf aggregate, 1-row
+    # total, surprisal join) and no barrier, so the whole-corpus
+    # tokenize+explode executed three times per run. Now: (a) occ sits
+    # behind an explicit repartition(term) exchange that the tf
+    # aggregate AND the join's probe side both reuse (the groupBy's
+    # required distribution is already satisfied, so no second
+    # shuffle); (b) the total T is derived as sum(tf) from the tf
+    # aggregate (exactly count(occ) — same integer) instead of a third
+    # pass over occ. One scan, one explode, one exchange.
+    parts = df.sparkSession.sparkContext.defaultParallelism * 2
     occ = df.select(
         F.col(id_col).alias("id"),
         F.explode(words(F.lower(F.col(text_col)))).alias("term"),
-    )
+    ).repartition(parts, "term")
     tf = occ.groupBy("term").agg(F.count(F.lit(1)).alias("tf"))
-    total = occ.select(F.count(F.lit(1)).cast("long").alias("_t"))
+    total = tf.select(F.sum("tf").cast("long").alias("_t"))
     sur = (
         occ.join(tf, "term")
         .crossJoin(F.broadcast(total))

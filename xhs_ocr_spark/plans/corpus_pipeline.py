@@ -496,6 +496,12 @@ def corpus_assembly(
     sel = SEL.token_budget_select(
         scored, "doc_id", "quality_x1000", "n_tokens", budget=ASSEMBLY_BUDGET
     )
+    if stage_checkpoints:
+        # round-6 verdict item 1: ``sel`` feeds BOTH pack_sequences and
+        # the final join; unstaged, the whole selection (windows + the
+        # scoring above it) re-derives under each consumer. Same
+        # localCheckpoint discipline as every funnel stage.
+        sel = sel.localCheckpoint(eager=True)
     packed = SEL.pack_sequences(
         sel.select("doc_id", "n_tokens"),
         "doc_id",
