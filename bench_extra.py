@@ -51,8 +51,12 @@ def main() -> None:
     for name in names:
         if args.explain_dir:
             os.makedirs(args.explain_dir, exist_ok=True)
+            df = qs[name](spark, args.sf)
+            plan = df._sc._jvm.PythonSQLUtils.explainString(
+                df._jdf.queryExecution(), "formatted"
+            )
             with open(os.path.join(args.explain_dir, f"{name}.txt"), "w") as fh:
-                fh.write(qs[name](spark, args.sf)._jdf.queryExecution().explainString("formatted"))
+                fh.write(plan)
         rec: dict[str, list[float]] = {"count": []}
         if not args.no_warmup:
             spark.sparkContext.setJobDescription(f"{name}: warmup")

@@ -403,16 +403,23 @@ def main() -> None:
             ("no nested loop / cartesian", r"NestedLoop|CartesianProduct", False),
         ],
     )
-    # q62/q63 BPE counting: exactly the tokenizer shape — ONE
-    # Arrow-batched python stage over the scan (no shuffle below it,
-    # no row-wise python); q63's downstream selection keeps the
-    # two-level-cumsum window contract on top of the python counts.
+    # q62/q63 BPE counting (r7 shapes): q62 is EXACTLY one Arrow-batched
+    # python stage fed by EXACTLY one spread exchange (round-6 verdict
+    # item 1 asked for exactly-one, not merely present: the r6 plan ran
+    # the tokenizer twice; and without the spread the single-file scan
+    # pinned the whole stage to one python worker). q63's tokenizer now
+    # runs inside token_budget_select's input localCheckpoint, so its
+    # FINAL plan must contain NO scan and NO python at all — the
+    # structural exactly-once — while the selection keeps the
+    # two-level-cumsum window contract above the checkpointed RDD.
     audit(
         "q62_bpe_tokens",
         Q.queries()["q62_bpe_tokens"](spark, SF),
         [
             ("arrow-batched python stage", r"MapInPandas", True),
-            ("no shuffle below the tokenizer", r"Exchange", False),
+            ("exactly one python stage", r"(?s)\(\d+\) MapInPandas.*\(\d+\) MapInPandas", False),
+            ("one spread exchange below the tokenizer", r"Exchange", True),
+            ("exactly one exchange", r"(?s)\(\d+\) Exchange.*\(\d+\) Exchange", False),
             ("no row-wise python", r"BatchEvalPython", False),
         ],
     )
@@ -420,8 +427,8 @@ def main() -> None:
         "q63_bpe_budget",
         Q.queries()["q63_bpe_budget"](spark, SF),
         [
-            ("arrow-batched python stage", r"MapInPandas", True),
-            ("no row-wise python", r"BatchEvalPython", False),
+            ("no parquet scan above the selection checkpoint", r"(?m)^\(\d+\) Scan parquet", False),
+            ("no python above the selection checkpoint", r"EvalPython|MapInPandas", False),
             ("per-row window partitioned by shard", r"\], \[[^\]]*_shard[^\]]*\], \[", True),
             ("no nested loop / cartesian", r"NestedLoop|CartesianProduct", False),
         ],
@@ -429,16 +436,19 @@ def main() -> None:
     # q61 assembly tail composed onto the funnel (round-5 verdict item
     # 4): same checkpoint discipline (no scan, no python above the
     # checkpoints), and the tail's windows are the bounded two-level
-    # shapes — selection's per-row window partitioned by (score, shard),
-    # packing's by the hash-prefix group; never a global-sort window
-    # over the survivor rows.
+    # shapes. Since r7 the selection result ``sel`` is itself
+    # localCheckpoint'ed (round-6 verdict item 1: it fed both
+    # pack_sequences and the final join and re-derived under each), so
+    # the selection windows sit BEHIND a checkpoint and only the packing
+    # window is visible in the final plan; the selection-window contract
+    # is pinned on q51/q63's plans, whose windows run above their input
+    # checkpoint.
     audit(
         "q61_corpus_assembly",
         Q.queries()["q61_corpus_assembly"](spark, SF),
         [
             ("no parquet scan above the checkpoints", r"(?m)^\(\d+\) Scan parquet", False),
             ("no python anywhere", r"EvalPython|MapInPandas", False),
-            ("selection window partitioned by shard", r"\], \[[^\]]*_shard[^\]]*\], \[", True),
             ("packing window partitioned by group", r"\], \[[^\]]*_grp[^\]]*\], \[", True),
             ("no nested loop / cartesian", r"NestedLoop|CartesianProduct", False),
         ],

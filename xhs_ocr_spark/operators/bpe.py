@@ -150,12 +150,25 @@ class _BpeEngine:
         return [sum(wc(w) for w in ws) for ws in docs]
 
 
-def bpe_token_counts(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """(id, n_ws_tokens, n_bpe_tokens): whitespace vs tokenizer-unit
-    counts, Arrow-batched with the merges loaded once per worker. One
-    narrow python stage — no shuffle; scan-speed modulo tokenizer
-    throughput at 100 TB, spread across workers by the caller's
-    partitioning (exactly how a tiktoken counting job runs)."""
+def bpe_token_counts(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    keep_cols: list[str] | None = None,
+    pre_spread: bool = False,
+) -> DataFrame:
+    """(id[, keep_cols...], n_ws_tokens, n_bpe_tokens): whitespace vs
+    tokenizer-unit counts, Arrow-batched with the merges loaded once per
+    worker. One narrow python stage — no shuffle; scan-speed modulo
+    tokenizer throughput at 100 TB.
+
+    ``keep_cols``: additional input columns passed through the python
+    stage untouched (r7) — a consumer that needs (score, token_count)
+    per row gets both from ONE scan instead of scanning twice and
+    joining on the id (q63 previously ran a second full documents scan
+    + a broadcast join just to attach quality_x1000)."""
+
+    keep = list(keep_cols or [])
 
     def count(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         engine = _BpeEngine.get()  # BEFORE the batch loop (U1)
@@ -167,28 +180,38 @@ def bpe_token_counts(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
                 [] if t is None else [x for x in _WS.split(t.strip()) if x]
                 for t in pdf["__text"]
             ]
-            yield pd.DataFrame(
-                {
-                    "__id": pdf["__id"],
-                    "n_ws_tokens": pd.Series(
-                        [len(ws) for ws in docs], index=pdf.index, dtype="int64"
-                    ),
-                    "n_bpe_tokens": pd.Series(
-                        engine.count_tokenized(docs), index=pdf.index, dtype="int64"
-                    ),
-                }
+            out = {"__id": pdf["__id"]}
+            for k in keep:
+                out[k] = pdf[k]
+            out["n_ws_tokens"] = pd.Series(
+                [len(ws) for ws in docs], index=pdf.index, dtype="int64"
             )
+            out["n_bpe_tokens"] = pd.Series(
+                engine.count_tokenized(docs), index=pdf.index, dtype="int64"
+            )
+            yield pd.DataFrame(out)
 
     # spread before the python stage (r7, guide §4/§2): the documents
     # parquet is a single scan partition, so without an exchange the
     # whole tokenizer stage ran in ONE python worker (measured: q62 was
     # a 1-task stage). Hash-repartition on the id spreads the Arrow
-    # batches across every worker.
-    parts = df.sparkSession.sparkContext.defaultParallelism * 2
+    # batches across every worker. ``pre_spread=True`` skips it — the
+    # caller already placed an exchange BELOW its keep_cols derivation
+    # (computing heavy keep_cols above a 1-partition scan and only then
+    # exchanging would serialize them on one task).
     src = df.select(
-        F.col(id_col).alias("__id"), F.col(text_col).alias("__text")
-    ).repartition(parts, "__id")
-    out_schema = f"__id {src.schema['__id'].dataType.simpleString()}, n_ws_tokens bigint, n_bpe_tokens bigint"
+        F.col(id_col).alias("__id"), F.col(text_col).alias("__text"), *keep
+    )
+    if not pre_spread:
+        parts = df.sparkSession.sparkContext.defaultParallelism * 2
+        src = src.repartition(parts, "__id")
+    keep_schema = "".join(
+        f", {k} {src.schema[k].dataType.simpleString()}" for k in keep
+    )
+    out_schema = (
+        f"__id {src.schema['__id'].dataType.simpleString()}{keep_schema}, "
+        "n_ws_tokens bigint, n_bpe_tokens bigint"
+    )
     return src.mapInPandas(count, out_schema).withColumnRenamed("__id", id_col)
 
 

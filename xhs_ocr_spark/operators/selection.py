@@ -63,15 +63,19 @@ def token_budget_select(
     # — the per-(score, shard) aggregate and the per-row window join —
     # and without a barrier Catalyst re-derives the WHOLE input subtree
     # under each (q63's BPE tokenizer MapInPandas ran twice; committed
-    # plan BENCH/plans/q63_bpe_budget.txt r6). A repartition on the id
-    # makes both consumers' subtrees identical up to this exchange, so
-    # the physical plan reuses ONE exchange (ReusedExchange) and the
-    # input — scan, scoring, tokenizer python stage — runs exactly once.
-    # Same discipline as paragraph_dedup's shared fp exchange.
-    parts = df.sparkSession.sparkContext.defaultParallelism * 2
+    # plan BENCH/plans/q63_bpe_budget.txt r6). A shared repartition was
+    # tried first and did NOT dedupe: the join consumer pushes
+    # isnotnull(score)/isnotnull(shard) through the exchange, so the two
+    # subtrees canonicalize differently and ReusedExchange never fires —
+    # worse, the pushed isnotnull re-evaluates the full score expression
+    # in a Filter below the Project that computes it. localCheckpoint
+    # (the corpus_pipeline stage discipline) materializes the NARROW
+    # (id, score, tokens, shard) frame once; both consumers and every
+    # pushed filter stop at the checkpointed RDD, so the input — scan,
+    # scoring, tokenizer python stage — runs exactly once.
     base = df.select(
         F.col(id_col), F.col(score_col), F.col(tokens_col), shard
-    ).repartition(parts, id_col)
+    ).localCheckpoint(eager=True)
 
     # Per-(score, shard) totals: bounded cardinality regardless of |df|.
     grp = base.groupBy(score_col, "_shard").agg(

@@ -1662,12 +1662,24 @@ def q_bpe_budget(spark, sf):
     from .operators.bpe import bpe_token_counts
 
     d = _t(spark, sf, "documents")
-    scored = d.select(
-        "doc_id", TX.quality_score(F.col("text")).alias("quality_x1000")
-    ).join(
-        bpe_token_counts(d, "doc_id", "text").select("doc_id", "n_bpe_tokens"),
+    # ONE scan (r7): quality is computed JVM-side in the same projection
+    # the tokenizer stage consumes and rides through it as a passthrough
+    # column — the old shape scanned documents twice and broadcast-joined
+    # the two halves back on doc_id. The exchange sits BELOW the quality
+    # derivation (spread raw rows first — the parquet is one scan
+    # partition; deriving above it would serialize the scoring on one
+    # task), so bpe_token_counts must not add a second one (pre_spread).
+    parts = spark.sparkContext.defaultParallelism * 2
+    spread = d.select("doc_id", "text").repartition(parts, "doc_id")
+    scored = bpe_token_counts(
+        spread.select(
+            "doc_id", "text", TX.quality_score(F.col("text")).alias("quality_x1000")
+        ),
         "doc_id",
-    )
+        "text",
+        keep_cols=["quality_x1000"],
+        pre_spread=True,
+    ).select("doc_id", "quality_x1000", "n_bpe_tokens")
     return SEL.token_budget_select(
         scored, "doc_id", "quality_x1000", "n_bpe_tokens", budget=15_000
     )
