@@ -44,6 +44,42 @@ def test_norm_hoist_bit_identical(spark, rand_vecs):
         assert r["inline"] == r["hoisted"]
 
 
+def test_union_find_matches_iterative_components(spark, monkeypatch):
+    """The r7 driver-side union-find route (edge count under the cap)
+    must produce the exact labels of the distributed min-label
+    propagation — including multi-hop chains, where comp = min id is
+    only reachable transitively."""
+    import numpy as np
+
+    from xhs_ocr_spark.operators import dedup_fuzzy as DF
+
+    rng = np.random.default_rng(23)
+    edges = set()
+    for start in range(0, 400, 20):  # chains of 20 (diameter > 1 hop)
+        for i in range(start, start + 19):
+            edges.add((i, i + 1))
+    for _ in range(150):  # random extra edges
+        a, b = rng.integers(0, 600, size=2)
+        if a != b:
+            edges.add((int(min(a, b)), int(max(a, b))))
+    pairs = spark.createDataFrame(
+        [(f"d{a:04d}", f"d{b:04d}") for a, b in sorted(edges)],
+        "id_a string, id_b string",
+    )
+    fast = {
+        (r["id"], r["comp"]) for r in DF.neardup_components(pairs).collect()
+    }
+    monkeypatch.setattr(DF, "NEARDUP_DRIVER_MAX_EDGES", -1)  # force iterative
+    # random bridges chain the 20-node paths into larger-diameter
+    # components; propagation needs diameter rounds (union-find doesn't)
+    slow = {
+        (r["id"], r["comp"])
+        for r in DF.neardup_components(pairs, max_iter=120).collect()
+    }
+    assert fast == slow
+    assert len(fast) > 0
+
+
 def test_lsh_near_neighbors_matches_hof_verify(spark, rand_vecs):
     """The norm-precompute + unrolled-dot verify must reproduce the old
     per-pair cosine() filter's pair set exactly (threshold chosen low so

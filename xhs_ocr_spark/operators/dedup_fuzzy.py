@@ -306,6 +306,45 @@ def lsh_candidate_pairs(
     return sharded_bucket_pairs(sig, ["band"]).distinct()
 
 
+# neardup_components: edge-count ceiling for the exact driver-side
+# union-find route. 10^6 edges x ~2 short string ids is tens of MB on
+# the driver — bounded metadata, like the capped IVF fit sample — while
+# the per-round overhead of the distributed loop (shuffle joins over
+# stats-less checkpointed frames, one checkpoint + one convergence count
+# per round) is ~7s even for a 12k-edge graph (measured, sf1.0 funnel).
+NEARDUP_DRIVER_MAX_EDGES = 1_000_000
+
+
+def _union_find_components(edges: list[tuple]) -> dict:
+    """Exact connected components over an edge list: id -> min id in its
+    component (same labels the converged min-label propagation yields)."""
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for a, b in edges:
+        if a not in parent:
+            parent[a] = a
+        if b not in parent:
+            parent[b] = b
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    comp_min: dict = {}
+    for x in parent:
+        r = find(x)
+        m = comp_min.get(r)
+        if m is None or x < m:
+            comp_min[r] = x
+    return {x: comp_min[find(x)] for x in parent}
+
+
 def neardup_components(
     pairs: DataFrame, max_iter: int = 25, checkpoint_dir: str | None = None
 ) -> DataFrame:
@@ -359,6 +398,35 @@ def neardup_components(
         .distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    # Scale-adaptive route (r7, guide §2/§5): the count materializes the
+    # persisted edges either way (the first propagation round used to).
+    # Below NEARDUP_DRIVER_MAX_EDGES the whole graph is bounded driver
+    # metadata (like the capped IVF fit sample), and exact union-find on
+    # the driver replaces 3-5 distributed rounds of shuffle joins over
+    # stats-less checkpointed frames (~7s of fixed per-round overhead on
+    # a 12k-edge graph, measured at the sf1.0 funnel) with ~10ms. The
+    # labels are IDENTICAL: union-find computes the same transitive
+    # closure the converged min-label propagation does, and python's str
+    # ordering equals Spark's UTF8 binary ordering (UTF-8 is code-point
+    # order-preserving), so `comp = min id in component` matches
+    # bit-for-bit (pinned by tests/test_round7_opt.py). Above the cap
+    # the distributed loop below is unchanged.
+    n_edges = edges.count()
+    if n_edges <= NEARDUP_DRIVER_MAX_EDGES:
+        import pyspark.sql.types as T
+
+        comp = _union_find_components(
+            [(r["src"], r["dst"]) for r in edges.collect()]
+        )
+        id_type = pairs.schema["id_a"].dataType
+        schema = T.StructType(
+            [T.StructField("id", id_type), T.StructField("comp", id_type)]
+        )
+        out = pairs.sparkSession.createDataFrame(
+            sorted(comp.items()), schema
+        )
+        edges.unpersist()
+        return out
     labels = _ckpt(
         edges.select(F.col("src").alias("id"))
         .distinct()
