@@ -80,6 +80,52 @@ def test_union_find_matches_iterative_components(spark, monkeypatch):
     assert len(fast) > 0
 
 
+def test_ngram_hot_route_matches_window_route(spark, monkeypatch):
+    """q27's two guard routes must drop identically: a planted hot
+    shingle (df > max_df) is excluded by both, and all surviving pairs
+    agree. The hot route's plan must contain no Window node (the r6
+    straggler shape: every row of the hottest posting through one
+    task's sort) — round-6 verdict item 3."""
+    from xhs_ocr_spark.operators import dedup_fuzzy as DF
+
+    rows = []
+    # 40 docs all sharing the hot trigram "zz zz zz" (df 40 > max_df 10),
+    # plus paired near-dups that must still be found without it
+    for i in range(40):
+        extra = f"alpha{i % 4} beta{i % 4} gamma{i % 4} delta{i % 4}"
+        rows.append((f"d{i:03d}", f"zz zz zz {extra}", "en"))
+    docs = spark.createDataFrame(rows, "doc_id string, text string, lang string")
+
+    def run():
+        return sorted(
+            (r["id_a"], r["id_b"], r["jacc_x1000"])
+            for r in DF.ngram_jaccard_pairs(
+                docs, "doc_id", "text", threshold=0.3, scope_col="lang", max_df=10
+            ).collect()
+        )
+
+    monkeypatch.setattr(DF, "_SKETCH_SKIP_BYTES", 1 << 60)  # force window route
+    monkeypatch.setattr(DF, "_HOT_ROUTE_MIN_DF", 1 << 60)
+    window_route = run()
+    monkeypatch.setattr(DF, "_SKETCH_SKIP_BYTES", 0)  # force the sketch
+    monkeypatch.setattr(DF, "_DF_SKETCH_MOD", 1)  # sample everything
+    monkeypatch.setattr(DF, "_HOT_ROUTE_MIN_DF", 10)  # est 40 > 10 -> hot route
+    hot_df = DF.ngram_jaccard_pairs(
+        docs, "doc_id", "text", threshold=0.3, scope_col="lang", max_df=10
+    )
+    plan = hot_df._sc._jvm.PythonSQLUtils.explainString(
+        hot_df._jdf.queryExecution(), "formatted"
+    )
+    import re
+
+    assert not re.search(r"\(\d+\) Window", plan), "hot route must not window"
+    hot_route = sorted(
+        (r["id_a"], r["id_b"], r["jacc_x1000"]) for r in hot_df.collect()
+    )
+    assert hot_route == window_route
+    assert len(hot_route) > 0  # the near-dup pairs survive the drop
+
+
 def test_lsh_near_neighbors_matches_hof_verify(spark, rand_vecs):
     """The norm-precompute + unrolled-dot verify must reproduce the old
     per-pair cosine() filter's pair set exactly (threshold chosen low so

@@ -961,6 +961,46 @@ def ngram_df_drop_stats(
     )
 
 
+# ngram_jaccard_pairs hot-route selection (round-6 verdict item 3): the
+# window guard single-tasks the hottest posting's rows, so above this
+# estimated max document frequency the anti-join route takes over.
+_HOT_ROUTE_MIN_DF = 1_000_000
+# Deterministic doc-sample modulus for the df sketch (hash-gated like
+# sample_bucket_x1000; est = max sampled df x mod).
+_DF_SKETCH_MOD = 100
+# Inputs whose Catalyst size estimate is below this cannot contain a
+# _HOT_ROUTE_MIN_DF posting (even at ~10 compressed bytes/row that is
+# < 10^6 rows), so the sketch job is skipped outright — at bench scale
+# the route decision costs nothing; unknown-stats inputs run the sketch
+# (the safe at-scale default).
+_SKETCH_SKIP_BYTES = 10 << 20
+
+
+def _max_df_estimate(df, id_col, text_col, n, scope_col) -> int:
+    """Scaled-up max document frequency of a deterministic 1/mod doc
+    sample — the cheap df sketch that picks ngram_jaccard_pairs' guard
+    route (stand-in for consulting table statistics). Misestimates cost
+    speed only: both routes compute exact df and drop identically."""
+    try:
+        size = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:
+        size = None
+    if size is not None and size < _SKETCH_SKIP_BYTES:
+        return 0
+    samp = df.where(
+        F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.lit(_DF_SKETCH_MOD)) == 0
+    )
+    ex_s = _shingle_index(samp, id_col, text_col, n, scope_col, hash_keys=True)
+    keys = ["sh", "scope"] if scope_col else ["sh"]
+    row = (
+        ex_s.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .agg(F.max("_c").alias("_m"))
+        .first()
+    )
+    return int(row["_m"] or 0) * _DF_SKETCH_MOD
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str,
@@ -1042,31 +1082,54 @@ def ngram_jaccard_pairs(
     # posting is small. max_df=None (unbounded postings) keeps the
     # full sharded guard.
     if max_df is not None:
-        # Hot-posting guard (round-5 ADVICE, high): the collect_set must
-        # NEVER see a posting above max_df — filtering on size(ids)
-        # AFTER aggregation would first materialize one O(|posting|)
-        # aggregate row for the hottest shingle (a stopword shingle with
-        # 10^8 ids = one multi-GB row in a single task) before dropping
-        # it. Guard shape (measured at sf0.1, fast band): a window
-        # count(*) over the posting partition, filtered BEFORE the
-        # collect_set — rows of a hot posting pass through one task's
-        # EXTERNAL sort (spill-safe, never one heap object) and die at
-        # the filter; the groupBy then reuses the window's hash
-        # partitioning, so the guard costs ~0.4s over the unguarded
-        # aggregate (2.99 vs 2.58) where the alternatives measured
-        # worse: count-aggregate + left-semi join 3.41 (second shuffle
-        # of the full index), hot-key left-anti join 10.5 (SMJ + index
-        # re-derivation under both consumers). Index rows are distinct
-        # (id, sh) pairs, so count(*) IS the document frequency.
-        from pyspark.sql.window import Window as _W
+        # Hot-posting guard (round-5 ADVICE high; round-6 verdict item 3
+        # adds the extreme-df escape hatch). Two routes, identical
+        # output (both drop exactly the df > max_df postings; df is
+        # computed exactly in either route — the sketch below only picks
+        # WHICH route runs):
+        #
+        # - window route (default; fastest measured at bench scale —
+        #   its (sh, scope) exchange is reused by the collect_set
+        #   aggregate, so the guard costs one in-exchange sort): a
+        #   window count(*) over the posting partition, filtered BEFORE
+        #   the collect_set. Memory-safe at any df (external sort), but
+        #   ALL rows of the hottest shingle transit ONE task's sort —
+        #   straggler-shaped at a 10^8-df stopword shingle.
+        # - hot route (auto-selected at extreme df): document
+        #   frequencies via plain groupBy count — map-side PARTIAL
+        #   aggregation collapses a 10^8-row posting to one partial row
+        #   per map task before the shuffle — then a left-anti equi-join
+        #   of the index against only the df > max_df keys (metadata-
+        #   sized; AQE broadcast/skew-split applies). No single task
+        #   ever scans a whole posting.
+        #
+        # Route selection: a deterministic 1/_DF_SKETCH_MOD doc sample
+        # (hash-gated, like sample_bucket_x1000) is shingled and its max
+        # sampled df scaled back up — the stand-in for consulting table
+        # statistics. est > _HOT_ROUTE_MIN_DF => hot route. The sketch
+        # misjudging a borderline corpus costs only speed, never
+        # correctness. Pinned by test_ngram_hot_route_* (route
+        # equivalence on a planted hot shingle + no Window node in the
+        # hot route's plan).
+        est = _max_df_estimate(df, id_col, text_col, n, scope_col)
+        if est > _HOT_ROUTE_MIN_DF:
+            tf = ex.groupBy(*group_keys).agg(F.count(F.lit(1)).alias("_df"))
+            hot = tf.where(F.col("_df") > max_df).select(*group_keys)
+            buckets = (
+                ex.join(hot, group_keys, "left_anti")
+                .groupBy(*group_keys)
+                .agg(F.sort_array(F.collect_set("id")).alias("ids"))
+            )
+        else:
+            from pyspark.sql.window import Window as _W
 
-        w_df = _W.partitionBy(*group_keys)
-        buckets = (
-            ex.withColumn("_df", F.count(F.lit(1)).over(w_df))
-            .where(F.col("_df") <= max_df)
-            .groupBy(*group_keys)
-            .agg(F.sort_array(F.collect_set("id")).alias("ids"))
-        )
+            w_df = _W.partitionBy(*group_keys)
+            buckets = (
+                ex.withColumn("_df", F.count(F.lit(1)).over(w_df))
+                .where(F.col("_df") <= max_df)
+                .groupBy(*group_keys)
+                .agg(F.sort_array(F.collect_set("id")).alias("ids"))
+            )
         # spread=False: posting rows are already spread across tasks by
         # the aggregate exchange; the anchor exchange would move
         # O(|posting|) array copies per anchor for no placement gain
