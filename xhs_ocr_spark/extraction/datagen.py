@@ -128,17 +128,37 @@ def generate_corpus(spark: SparkSession, n_docs: int, partitions: int | None = N
     )
 
 
-def corpus_from_documents(documents: DataFrame, chunk_words: int = 7) -> DataFrame:
+def corpus_from_documents(
+    documents: DataFrame, chunk_words: int = 7, spread: bool = True
+) -> DataFrame:
     """Derive an interleaved corpus from the driver-provided ``documents``
     parquet table (doc_id, text, ...): split each text into ``chunk_words``
     word chunks -> text spans; insert a deterministic media span every 3rd
     position. Pure DataFrame ops (no Python row loop) so Catalyst sees the
     whole derivation; used by ``entry()`` and the benchmarks.
+
+    ``spread=True`` (default) spreads the RAW rows across cores (the
+    testdata parquet is a single scan partition — splitting above it
+    would serialize on one task) and then places a second repartition
+    barrier BETWEEN the whitespace split and the chunk/span transforms
+    (r7): CollapseProject inlines the ``words`` column into every lambda
+    reference otherwise, so the text re-splits once per CHUNK — the
+    documented expression-tree-inlining trap, measured 11x on the span
+    derivation at sf1.0 (explode of the spans: 5.5s collapsed vs 0.5s
+    with words materialized by an exchange). ``spread=False`` keeps the
+    caller's own partitioning and accepts the inlined split.
     """
+    if spread:
+        parts = documents.sparkSession.sparkContext.defaultParallelism * 2
+        documents = documents.select(
+            F.col("doc_id").cast("string").alias("doc_id"), "text"
+        ).repartition(parts, "doc_id")
     d = documents.select(
         F.col("doc_id").cast("string").alias("doc_id"),
         F.split(F.trim(F.col("text")), r"\s+").alias("words"),
     )
+    if spread:
+        d = d.repartition(parts, "doc_id")
     n_chunks = (F.size("words") + F.lit(chunk_words - 1)) / F.lit(chunk_words)
     d = d.select(
         "doc_id",

@@ -345,11 +345,16 @@ SELECT * FROM final
 def q_span_reorder(spark, sf):
     """O7 + the text route: chunk text into spans, drop empties, restore
     order by offset, reassemble (window/group semantics on real data)."""
-    parts = spark.sparkContext.defaultParallelism * 2
-    docs = corpus_from_documents(
-        _t(spark, sf, "documents").repartition(parts, "doc_id")
-    )
-    flat = docs.select("doc_id", F.explode("spans").alias("s")).select(
+    # corpus_from_documents spreads internally between split and chunking
+    # (r7 — the inlining trap); a second outer exchange would be waste.
+    # explode_OUTER (r7): a plain explode's implicit `size(spans) > 0`
+    # guard is pushed below the exchange and re-evaluates the WHOLE span
+    # derivation per row on the single scan partition (measured: the
+    # dominant cost of this query). spans is never empty (split() yields
+    # >= 1 token, so >= 1 chunk), and the kind/text filter below drops a
+    # hypothetical null row, so outer-explode output is identical.
+    docs = corpus_from_documents(_t(spark, sf, "documents"))
+    flat = docs.select("doc_id", F.explode_outer("spans").alias("s")).select(
         "doc_id", F.col("s.kind").alias("kind"), F.col("s.text").alias("text"), F.col("s.offset").alias("offset")
     )
     text_spans = flat.where((F.col("kind") == "text") & (F.col("text") != ""))
@@ -1104,10 +1109,9 @@ def q_extract_flagship(spark, sf):
     against the reference oracle instead."""
     from .extraction.datagen import attach_media_bytes
 
-    parts = spark.sparkContext.defaultParallelism * 2
-    docs = corpus_from_documents(
-        _t(spark, sf, "documents").repartition(parts, "doc_id")
-    )
+    # corpus_from_documents spreads internally between split and chunking
+    # (r7 — the inlining trap); a second outer exchange would be waste
+    docs = corpus_from_documents(_t(spark, sf, "documents"))
     # order -> bigint for the typed fixture-oracle hash (repo invariant:
     # bigint/string-only oracle outputs)
     return extract_spans_flat(attach_media_bytes(docs)).withColumn(
@@ -2277,10 +2281,8 @@ def q_media_metadata(spark, sf):
     from .extraction.datagen import attach_media_bytes
     from .operators.multimodal import raw_media_metadata
 
-    parts = spark.sparkContext.defaultParallelism * 2
-    docs = attach_media_bytes(
-        corpus_from_documents(_t(spark, sf, "documents").repartition(parts, "doc_id"))
-    )
+    # corpus_from_documents spreads internally (r7)
+    docs = attach_media_bytes(corpus_from_documents(_t(spark, sf, "documents")))
     media = (
         docs.select(F.explode("spans").alias("s"))
         .where(F.col("s.kind") == "media")
@@ -2362,10 +2364,8 @@ def q_base64_roundtrip(spark, sf):
     the codec is only needed at serialization boundaries)."""
     from .extraction.datagen import attach_media_bytes
 
-    parts = spark.sparkContext.defaultParallelism * 2
-    docs = attach_media_bytes(
-        corpus_from_documents(_t(spark, sf, "documents").repartition(parts, "doc_id"))
-    )
+    # corpus_from_documents spreads internally (r7)
+    docs = attach_media_bytes(corpus_from_documents(_t(spark, sf, "documents")))
     media = (
         docs.select(F.explode("spans").alias("s"))
         .where(F.col("s.kind") == "media")
