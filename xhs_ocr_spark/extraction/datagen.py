@@ -137,16 +137,18 @@ def corpus_from_documents(
     position. Pure DataFrame ops (no Python row loop) so Catalyst sees the
     whole derivation; used by ``entry()`` and the benchmarks.
 
-    ``spread=True`` (default) spreads the RAW rows across cores (the
-    testdata parquet is a single scan partition — splitting above it
-    would serialize on one task) and then places a second repartition
-    barrier BETWEEN the whitespace split and the chunk/span transforms
-    (r7): CollapseProject inlines the ``words`` column into every lambda
-    reference otherwise, so the text re-splits once per CHUNK — the
-    documented expression-tree-inlining trap, measured 11x on the span
-    derivation at sf1.0 (explode of the spans: 5.5s collapsed vs 0.5s
-    with words materialized by an exchange). ``spread=False`` keeps the
-    caller's own partitioning and accepts the inlined split.
+    ``spread=True`` (default) spreads the RAW rows across cores before
+    any derivation (r7): the testdata parquet is a single scan
+    partition, so without the exchange the split/chunk work — and, for a
+    non-outer downstream explode, the PUSHED ``size(spans) > 0`` guard,
+    which re-evaluates the whole derivation per row — serializes on one
+    task. Consumers that explode the spans should prefer explode_outer
+    so that guard never exists (spans is never empty: split() yields
+    >= 1 token, hence >= 1 chunk). A second exchange between split and
+    chunking was A/B'd and is NOT needed: CollapseProject declines to
+    inline a multiply-referenced non-cheap column, so ``words``
+    evaluates once per row either way (one exchange 0.55s vs two 0.75s
+    on the sf1.0 q13 shape).
     """
     if spread:
         parts = documents.sparkSession.sparkContext.defaultParallelism * 2
@@ -157,8 +159,6 @@ def corpus_from_documents(
         F.col("doc_id").cast("string").alias("doc_id"),
         F.split(F.trim(F.col("text")), r"\s+").alias("words"),
     )
-    if spread:
-        d = d.repartition(parts, "doc_id")
     n_chunks = (F.size("words") + F.lit(chunk_words - 1)) / F.lit(chunk_words)
     d = d.select(
         "doc_id",

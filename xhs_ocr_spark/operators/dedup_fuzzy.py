@@ -715,11 +715,26 @@ def paragraph_dedup(
     already satisfies the aggregate's distribution — measured ~40%
     faster than letting each branch re-derive (sf0.1: 2.9s -> 1.7s).
 
-    Returns (doc_id, para_idx, fp, keep 0/1)."""
+    Returns (doc_id, para_idx, fp, keep 0/1).
+
+    r7 derivation shape: raw rows are spread BEFORE the explode (the
+    testdata parquet is one scan partition — the paragraph derivation
+    used to run on a single task), and the explode is posexplode_OUTER:
+    a plain posexplode's implicit ``size(paragraphs(..)) > 0`` guard is
+    pushed to the scan and re-evaluates the whole paragraph derivation
+    per row there (measured: the dominant cost of q45 at sf1.0, 8.8s ->
+    2.2s). paragraphs() is never empty (>= 1 window) and the
+    ``para != ''`` filter drops a hypothetical null row — identical
+    output, hashes pinned old-vs-new at sf0.1/sf1.0."""
     parts = df.sparkSession.sparkContext.defaultParallelism * 2
-    p = df.select(
-        F.col(id_col).cast("string").alias("doc_id"),
-        F.posexplode(paragraphs(F.col(text_col), size)).alias("para_idx", "para"),
+    spread = df.select(
+        F.col(id_col).cast("string").alias("doc_id"), F.col(text_col).alias("__text")
+    ).repartition(parts, "doc_id")
+    p = spread.select(
+        "doc_id",
+        F.posexplode_outer(paragraphs(F.col("__text"), size)).alias(
+            "para_idx", "para"
+        ),
     ).where(F.col("para") != "").select(
         "doc_id",
         F.col("para_idx").cast("long").alias("para_idx"),
@@ -754,10 +769,15 @@ def paragraph_dedup_rebuild(
     string doc_ids comparing lexicographically — matching the SQL twin's
     ORDER BY."""
     parts = df.sparkSession.sparkContext.defaultParallelism * 2
+    # same r7 derivation shape as paragraph_dedup: spread the raw rows
+    # first, outer-explode so no derived-size guard reaches the scan
+    spread = df.select(
+        F.col(id_col).cast("string").alias("doc_id"), F.col(text_col).alias("__text")
+    ).repartition(parts, "doc_id")
     p = (
-        df.select(
-            F.col(id_col).cast("string").alias("doc_id"),
-            F.posexplode(paragraphs(F.col(text_col), size)).alias(
+        spread.select(
+            "doc_id",
+            F.posexplode_outer(paragraphs(F.col("__text"), size)).alias(
                 "para_idx", "para"
             ),
         )
