@@ -141,12 +141,12 @@ def decode_image(img_bytes: bytes) -> np.ndarray:
 
 def read_header(img: np.ndarray) -> tuple[str, str, int]:
     """(tag, app, n_blocks) from the header band; raises on bad magic."""
-    h = img[_band_rows(0)].reshape(-1)
+    h = img[_band_rows(0)].reshape(-1)[:7].tolist()  # python ints (r7)
     if (h[0], h[1]) != MAGIC or h[2] != VERSION:
         raise ValueError("not a raw media image")
-    tag = TAGS[int(h[3])]
+    tag = TAGS[h[3]]
     app = "tiktok" if h[4] == 1 else "xhs"
-    return tag, app, int(h[5])
+    return tag, app, h[5]
 
 
 def read_hw(img: np.ndarray) -> str:
@@ -160,16 +160,23 @@ def decode_blocks(img: np.ndarray, n_blocks: int) -> list[dict]:
     """Blocks surviving in the (possibly composited) image: bands whose
     MARKER byte survived the alpha multiply."""
     out = []
+    # r7: one reshape for all bands + tolist() of the fixed meta prefix
+    # (python-int arithmetic beats per-byte numpy-scalar indexing in
+    # this per-image hot path); decode unchanged byte-for-byte.
+    bands = img[HEADER_BANDS * BH : (HEADER_BANDS + n_blocks) * BH].reshape(
+        n_blocks, -1
+    )
     for r in range(n_blocks):
-        band = img[_band_rows(HEADER_BANDS + r)].reshape(-1)
-        if band[0] != MARKER:
+        band = bands[r]
+        meta = band[:_META_LEN].tolist()
+        if meta[0] != MARKER:
             continue  # zeroed by the mask -> region not visible
-        x = int(band[1]) | (int(band[2]) << 8)
-        y = int(band[3]) | (int(band[4]) << 8)
-        w, h = int(band[5]), int(band[6])
-        score = (int(band[7]) | (int(band[8]) << 8)) / 1000.0
-        tlen = int(band[9])
-        text = bytes(band[_META_LEN : _META_LEN + tlen]).decode("utf-8")
+        x = meta[1] | (meta[2] << 8)
+        y = meta[3] | (meta[4] << 8)
+        w, h = meta[5], meta[6]
+        score = (meta[7] | (meta[8] << 8)) / 1000.0
+        tlen = meta[9]
+        text = band[_META_LEN : _META_LEN + tlen].tobytes().decode("utf-8")
         out.append(
             {
                 "box": [[x, y], [x + w, y], [x + w, y + h], [x, y + h]],
@@ -234,6 +241,41 @@ def masks_by_key(rows: list[dict]) -> dict[tuple[str, str, str], list[bytes]]:
     return {k: [b for _, b in sorted(v)] for k, v in out.items()}
 
 
+# Per-worker cache of DECODED masks (r7): extract_from_bytes used to
+# decode_image(mask_bytes) per image x mask try. The library is tiny and
+# immutable per run, so each worker decodes it once; keyed by id() of
+# the broadcast value (one object per worker). Each entry carries the
+# decoded alpha plane and whether it is binary {0, 255} — true for every
+# library mask by construction (the payload is byte-encoded; docstring
+# at the top of this file) — which enables the integer fast composite.
+_MASK_CACHE: dict = {}
+
+
+def _decoded_masks(masks, key):
+    cache = _MASK_CACHE.get(id(masks))
+    if cache is None:
+        cache = {}
+        _MASK_CACHE.clear()  # one broadcast value per worker lifetime
+        _MASK_CACHE[id(masks)] = cache
+    entry = cache.get(key)
+    if entry is None:
+        entry = []
+        for mask_bytes in masks.get(key, []):
+            mask = decode_image(mask_bytes)
+            alpha_u8 = mask[:, :, 3]
+            is_binary = bool(np.isin(alpha_u8, (0, 255)).all())
+            entry.append(
+                (
+                    mask.shape[0],
+                    (alpha_u8 == 255).astype(np.uint8)[:, :, np.newaxis],
+                    alpha_u8 / 255.0,
+                    is_binary,
+                )
+            )
+        cache[key] = entry
+    return entry
+
+
 def extract_from_bytes(
     img_bytes: bytes,
     masks: dict[tuple[str, str, str], list[bytes]],
@@ -253,16 +295,27 @@ def extract_from_bytes(
     fields = TAG_FIELDS[tag]
     content_rows = (HEADER_BANDS + n_blocks) * BH
 
-    for mask_bytes in masks.get((app, hw, tag), []):
-        mask = decode_image(mask_bytes)
-        if mask.shape[0] > content_rows:
+    for mask_rows, keep_u8, alpha_f64, is_binary in _decoded_masks(
+        masks, (app, hw, tag)
+    ):
+        if mask_rows > content_rows:
             continue  # size guard (core/run.py:396-399): mask can't apply
         # THE reference pixel math (core/run.py:402-404): extract alpha,
         # normalize, multiply. Content rows beyond the mask extent are
         # zeroed (alpha 0), like regions outside the reference's mask.
-        alpha = np.zeros(img.shape[:2], dtype=np.float64)
-        alpha[: mask.shape[0]] = mask[:, :, 3] / 255.0
-        composited = (img * alpha[:, :, np.newaxis]).astype(np.uint8)
+        # r7 fast path: the library's masks are binary {0,255} alpha by
+        # construction, and for binary alpha the float multiply is
+        # exactly x*1.0=x / x*0.0=0 — the uint8 multiply by the 0/1 keep
+        # plane is BIT-identical output for a fraction of the flops and
+        # no float64 round-trip. Any mask with fractional alpha (an
+        # external drop-in) takes the reference float path unchanged.
+        composited = np.zeros_like(img)
+        if is_binary:
+            composited[:mask_rows] = img[:mask_rows] * keep_u8
+        else:
+            composited[:mask_rows] = (
+                img[:mask_rows] * alpha_f64[:, :, np.newaxis]
+            ).astype(np.uint8)
 
         visible = decode_blocks(composited, n_blocks)
         ordered = reading_order(visible)

@@ -188,17 +188,22 @@ def reading_order(blocks: list[dict]) -> list[dict]:
     row start — order-dependent, so this cannot be a pure sort key);
     each completed row is re-sorted by x_center.
     """
-    def centers(b):
-        xs = [p[0] for p in b["box"]]
-        ys = [p[1] for p in b["box"]]
-        return sum(xs) / 4.0, sum(ys) / 4.0
-
-    pre = sorted(blocks, key=lambda b: (centers(b)[1], centers(b)[0]))
+    # centers computed ONCE per block (r7: they were recomputed in every
+    # sort-key call and again in the row loop — 3x per block in the per-
+    # image hot path). The explicit 4-term adds keep sum()'s left-fold
+    # float order, and the keyed sort keeps sorted()'s stability — the
+    # ordering is bit-identical to the previous form.
+    triples = []
+    for b in blocks:
+        (x0, y0), (x1, y1), (x2, y2), (x3, y3) = b["box"]
+        y_c = (((y0 + y1) + y2) + y3) / 4.0
+        x_c = (((x0 + x1) + x2) + x3) / 4.0
+        triples.append((y_c, x_c, b))
+    triples.sort(key=lambda t: (t[0], t[1]))
     out: list[dict] = []
     row: list[tuple[float, dict]] = []
     prev_y: float | None = None
-    for b in pre:
-        x_c, y_c = centers(b)
+    for y_c, x_c, b in triples:
         if prev_y is None or abs(y_c - prev_y) < 20:
             row.append((x_c, b))
         else:

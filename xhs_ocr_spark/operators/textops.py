@@ -337,18 +337,28 @@ def chunk_documents(df, id_col: str, text_col: str, chunk: int = 32, stride: int
     size.
 
     Returns (id, chunk_idx, n_tokens, chunk_text)."""
+    c, s = int(chunk), int(stride)
+    # round-6 ADVICE: stride > chunk silently skipped inter-chunk tokens
+    # and could emit empty tail chunks; stride <= 0 looped forever in
+    # spirit. Fail loudly — no valid caller wants either.
+    if s <= 0 or s > c:
+        raise ValueError(
+            f"chunk_documents requires 0 < stride <= chunk, got "
+            f"stride={s}, chunk={c}"
+        )
     toks = df.select(
         F.col(id_col).alias("id"), words(F.col(text_col)).alias("_ws")
     ).where(F.size("_ws") > 0)  # F.sequence(1, 0) counts DOWN — guard empties
-    c, s = int(chunk), int(stride)
-    n_chunks = F.when(F.size("_ws") <= c, F.lit(1)).otherwise(
-        F.lit(1) + (F.size("_ws") - F.lit(c) + F.lit(s - 1)) .cast("long") / F.lit(s)
+    # exact integer chunk count (round-6 ADVICE: the double-division +
+    # floor form was float-fragile at extreme n; DIV is exact)
+    n_chunks = F.when(F.size("_ws") <= c, F.lit(1).cast("long")).otherwise(
+        F.expr(f"1L + (CAST(size(_ws) - {c} + {s - 1} AS BIGINT) DIV {s})")
     )
     base = toks.select(
         "id",
         "_ws",
         F.posexplode(
-            F.sequence(F.lit(1), F.floor(n_chunks).cast("int"))
+            F.sequence(F.lit(1), n_chunks.cast("int"))
         ).alias("_i", "_one"),
     )
     sl = F.slice(F.col("_ws"), F.col("_i") * s + 1, c)

@@ -285,7 +285,13 @@ def incremental_batch_stages(
     the batch's surviving set equals (full re-run over corpus UNION
     batch) ∩ batch, PROVIDED corpus doc_ids order before batch doc_ids
     (ingest order — earlier data wins every first-occurrence
-    tie-break, which is exactly how production assigns ids).
+    tie-break, which is exactly how production assigns ids). NB (round-6
+    ADVICE): the ordering is lexicographic STRING order — doc_id is cast
+    to string on both sides and every min()/first-occurrence tie-break
+    compares strings — so numeric ids of differing width violate the
+    precondition silently ('9' > '10' as strings). Use zero-padded or
+    otherwise fixed-width ids, or compare max(corpus id) < min(batch id)
+    AS STRINGS before relying on the contract.
 
     Returns the batch-side stage frames under the corpus_stages keys
     (counts comparable to a batch funnel) plus 'corpus_input'."""

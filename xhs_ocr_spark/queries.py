@@ -2543,7 +2543,30 @@ def _sql_flagship_fixture() -> str:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # Registry ORDER (r7, round-6 verdict item 2): the driver's
+    # CORRECTNESS artifact has capped at exactly 50 rows for two rounds
+    # while the registry grew to 65, leaving q51-q65 driver-unverified.
+    # queries() is insertion-ordered, so for THIS round the fifteen
+    # newest entries lead and the long-stable q01-q15 (green for six
+    # consecutive rounds) rotate to the back of the 50-row window.
+    # Restore the numeric order once q51-q65 have driver-verified rows.
+    # Every entry and its oracle SQL is unchanged — only dict order.
     return {
+        "q51_token_budget": q_token_budget,
+        "q52_incremental_dedup": q_incremental_dedup,
+        "q53_mix_resample": q_mix_resample,
+        "q54_epoch_shuffle": q_epoch_shuffle,
+        "q55_pack_sequences": q_pack_sequences,
+        "q56_tfidf_topk": q_tfidf_topk,
+        "q57_token_quantiles": q_token_quantiles,
+        "q58_sessionize": q_sessionize,
+        "q59_sessionize_bucketed": q_sessionize_bucketed,
+        "q60_source_reputation": q_source_reputation,
+        "q61_corpus_assembly": q_corpus_assembly,
+        "q62_bpe_tokens": q_bpe_tokens,
+        "q63_bpe_budget": q_bpe_budget,
+        "q64_unigram_rarity": q_unigram_rarity,
+        "q65_chunk_documents": q_chunk_documents,
         "q01_recent_filter": q_recent_filter,
         "q02_related_merge": q_related_merge,
         "q03_unrelated_merge": q_unrelated_merge,
@@ -2594,21 +2617,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q48_corpus_pipeline": q_corpus_pipeline,
         "q49_substring_dedup": q_substring_dedup,
         "q50_model_quality": q_model_quality,
-        "q51_token_budget": q_token_budget,
-        "q52_incremental_dedup": q_incremental_dedup,
-        "q53_mix_resample": q_mix_resample,
-        "q54_epoch_shuffle": q_epoch_shuffle,
-        "q55_pack_sequences": q_pack_sequences,
-        "q56_tfidf_topk": q_tfidf_topk,
-        "q57_token_quantiles": q_token_quantiles,
-        "q58_sessionize": q_sessionize,
-        "q59_sessionize_bucketed": q_sessionize_bucketed,
-        "q60_source_reputation": q_source_reputation,
-        "q61_corpus_assembly": q_corpus_assembly,
-        "q62_bpe_tokens": q_bpe_tokens,
-        "q63_bpe_budget": q_bpe_budget,
-        "q64_unigram_rarity": q_unigram_rarity,
-        "q65_chunk_documents": q_chunk_documents,
     }
 
 

@@ -222,43 +222,68 @@ def streaming_corpus_funnel(
     (doc_id, text) — constant across batches, exactly how a deployment
     holds its decontamination set.
 
-    Recovery semantics (documented bound, same class as the MERGE
-    stand-in): survivors are written BEFORE the index deltas, so a
-    replayed batch either recomputes identical survivors (indexes
-    untouched: appends are idempotent-by-content) or finds its own fps
-    already indexed and contributes nothing new — the survivor set
-    stays correct either way. A crash BETWEEN the three index appends
-    can leave a partially-indexed batch (its paragraphs/bands not yet
-    blocking future copies) until the next successful replay;
-    transactional multi-table commits are the real-Iceberg swap-in this
-    stands in for (COVERAGE.md K2-K4)."""
+    Recovery semantics (r7, closing the round-6 ADVICE defect — the old
+    docstring claimed flat parquet appends were 'idempotent-by-content',
+    which they are not: a crash after the survivors append duplicated
+    survivor rows on replay, and a crash after the fp append made the
+    replay's exact-dedup anti-join its OWN fps, permanently losing that
+    batch's para/band index deltas). Each output is now written to a
+    per-batch subdirectory (``<table>/batch=<id>``) with mode=overwrite:
+
+    - foreachBatch replays a failed batch under the SAME batch id, so
+      the replay overwrites any partial attempt instead of appending
+      beside it — no duplicates;
+    - reads gate on the _SUCCESS marker (only completely-committed
+      batch directories are visible) and EXCLUDE the in-flight batch's
+      own id, so a replay sees exactly the state as of the previous
+      batches and recomputes byte-identical outputs;
+    - batch outputs are a deterministic function of (prior committed
+      state, batch input), which makes overwrite-replay exactly-once
+      end to end. A real Iceberg deployment gets the same guarantee
+      from transactional multi-table commits (COVERAGE.md K2-K4)."""
     from ..plans.corpus_pipeline import (
         funnel_probe_indexes,
         incremental_batch_stages_vs_indexes,
     )
 
-    def _read_or_empty(path: str, schema: str) -> DataFrame:
+    def _committed_dirs(path: str, exclude_batch: int) -> list[str]:
         import os as _os
 
-        if _os.path.isdir(path):
-            return spark.read.schema(schema).parquet(path)
-        return spark.createDataFrame([], schema)
+        if not _os.path.isdir(path):
+            return []
+        out = []
+        for d in sorted(_os.listdir(path)):
+            if not d.startswith("batch="):
+                continue
+            if int(d.split("=", 1)[1]) == exclude_batch:
+                continue  # a replayed batch must not see its own partials
+            if _os.path.exists(_os.path.join(path, d, "_SUCCESS")):
+                out.append(_os.path.join(path, d))
+        return out
 
-    def run_batch(batch_df: DataFrame, _batch_id: int) -> None:
-        fp_i = _read_or_empty(f"{state_dir}/fp", "fp string")
-        para_i = _read_or_empty(f"{state_dir}/para", "fp string")
-        band_i = _read_or_empty(f"{state_dir}/band", "band string")
+    def _read_committed(path: str, schema: str, exclude_batch: int) -> DataFrame:
+        dirs = _committed_dirs(path, exclude_batch)
+        if not dirs:
+            return spark.createDataFrame([], schema)
+        return spark.read.schema(schema).parquet(*dirs)
+
+    def run_batch(batch_df: DataFrame, batch_id: int) -> None:
+        fp_i = _read_committed(f"{state_dir}/fp", "fp string", batch_id)
+        para_i = _read_committed(f"{state_dir}/para", "fp string", batch_id)
+        band_i = _read_committed(f"{state_dir}/band", "band string", batch_id)
         stages = incremental_batch_stages_vs_indexes(
             batch_df, fp_i, para_i, band_i, eval_doc_text
         )
         survivors = stages["decontam"].join(
             stages["stratified_sample"].select("doc_id"), "doc_id", "left_semi"
         )
-        survivors.write.mode("append").parquet(f"{state_dir}/survivors")
+        survivors.write.mode("overwrite").parquet(
+            f"{state_dir}/survivors/batch={batch_id}"
+        )
         d_fp, d_para, d_band = funnel_probe_indexes(stages)
-        d_fp.write.mode("append").parquet(f"{state_dir}/fp")
-        d_para.write.mode("append").parquet(f"{state_dir}/para")
-        d_band.write.mode("append").parquet(f"{state_dir}/band")
+        d_fp.write.mode("overwrite").parquet(f"{state_dir}/fp/batch={batch_id}")
+        d_para.write.mode("overwrite").parquet(f"{state_dir}/para/batch={batch_id}")
+        d_band.write.mode("overwrite").parquet(f"{state_dir}/band/batch={batch_id}")
 
     docs = (
         spark.readStream.schema("doc_id string, text string")
