@@ -96,13 +96,23 @@ def main() -> None:
             ("no python anywhere", r"EvalPython|MapInPandas", False),
         ],
     )
+    # q29 (r7): vectors aggregate at (bucket, shard) granularity and ONE
+    # mapInArrow stage verifies per shard-pair (guide §8 — the payload
+    # moves O(n_shards x vectors), never O(pairs x vectors)); row-level
+    # data still never joins on the bucket key.
     audit(
         "q29_embedding_neardup",
-        Q.q_embedding_neardup(spark, SF),
+        Q.queries()["q29_embedding_neardup"](spark, SF),
         [
-            ("guarded expansion (collect_set agg)", r"partial_collect_set", True),
+            ("aggregate-before-join (collect_list)", r"partial_collect_list", True),
+            ("grouped-verify arrow stage", r"MapInArrow", True),
+            (
+                "exactly one python stage",
+                r"(?s)\(\d+\) MapInArrow.*\(\d+\) MapInArrow",
+                False,
+            ),
+            ("no row-wise python", r"BatchEvalPython", False),
             ("no nested loop / cartesian", r"NestedLoop|CartesianProduct", False),
-            ("no python anywhere", r"EvalPython|MapInPandas", False),
         ],
     )
     audit(
@@ -291,10 +301,14 @@ def main() -> None:
         "q64_unigram_rarity",
         Q.queries()["q64_unigram_rarity"](spark, SF),
         [
-            # same contract as q56: tf aggregates map-side, the 1-row
-            # total broadcasts (prints as a 1-row BroadcastNestedLoopJoin
-            # by construction), term join strategy left to the planner
-            ("partial counts before shuffles", r"partial_count", True),
+            # same contract as q56: aggregates run map-side partials, the
+            # 1-row total broadcasts (prints as a 1-row
+            # BroadcastNestedLoopJoin by construction), term join strategy
+            # left to the planner. r7: occurrence counting happens inside
+            # the (id, term) pre-aggregate's localCheckpoint job, so the
+            # visible plan's partials are the per-term/per-doc SUMs over
+            # that aggregate.
+            ("partial aggregation before shuffles", r"partial_(count|sum)", True),
             ("no python anywhere", r"EvalPython|MapInPandas", False),
             ("no cartesian product", r"CartesianProduct", False),
         ],

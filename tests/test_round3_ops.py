@@ -62,19 +62,21 @@ def test_lsh_near_neighbors_hot_bucket_completes(spark):
 
 def test_lsh_near_neighbors_no_bucket_join(spark, small_embeddings):
     """The round-2 scale defect was a bucket-key join of ROW-LEVEL
-    vectors (|b|^2 cosines pinned on one task). Round 4's sharded
-    expansion self-joins AGGREGATED shard rows on the bucket key — at
-    most n_shards rows per bucket — which is safe by construction. Pin
-    the real hazards: ids must aggregate before any bucket-key join
-    (partial_collect_set, and the _shard machinery is present), and
-    vector payloads only ever join on the uniform id keys."""
+    vectors (|b|^2 cosines pinned on one task). The r7 grouped-verify
+    shape self-joins AGGREGATED shard rows on the bucket key — at most
+    n_shards rows per bucket, each bounded to O(|bucket|/n_shards)
+    collected structs — and one mapInArrow stage emits verified pairs.
+    Pin the real hazards: rows aggregate before any bucket-key join
+    (partial_collect_list + the _shard machinery), no row-LEVEL vector
+    column ever appears in a join key, and exactly one python stage."""
     df = SS.lsh_near_neighbors(small_embeddings, dim=8, n_planes=4, min_cos=0.9)
     plan = df._sc._jvm.PythonSQLUtils.explainString(
         df._jdf.queryExecution(), "formatted"
     )
     import re
 
-    assert "partial_collect_set" in plan  # guarded expansion shape present
+    assert "partial_collect_list" in plan  # aggregate-before-join shape
+    assert len(re.findall(r"\(\d+\) MapInArrow", plan)) == 1
     for m in re.finditer(r"Left keys \[\d+\]: \[([^\]]*)\]", plan):
         if "bucket" in m.group(1):
             assert "_s1" in plan or "_shard" in plan, (

@@ -361,6 +361,9 @@ def ivf_topk_kmeans(
     )
 
 
+N_VERIFY_SHARDS = 16  # shard width of the grouped verify (memory knob)
+
+
 def lsh_near_neighbors(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -369,70 +372,130 @@ def lsh_near_neighbors(
     n_planes: int = N_PLANES,
     min_cos: float = 0.6,
     bucket_cap: int = 64,
+    n_shards: int = N_VERIFY_SHARDS,
 ) -> DataFrame:
     """Candidate pairs sharing an LSH bucket, verified by exact cosine.
     Returns (id_a, id_b) with cosine >= min_cos, id_a < id_b.
 
-    Hot-bucket-safe (round-2 verdict item 1; sharded in round 4):
-    candidates come from sharded_bucket_pairs — ids aggregate at
-    (bucket, shard) granularity, so no O(|bucket|) array ever lands in
-    one aggregate row, then the same guarded expansion as the
-    MinHash/ngram paths (in-expression below ``bucket_cap``,
-    exchange-spread streamed slice above it) — NEVER from a self-join
-    on the bucket key over row-level data. A degenerate corpus that
-    collapses into one sign-bit bucket therefore streams
-    O(|bucket|/n_shards) per task instead of sending |bucket|^2 cosine
-    evaluations to a single shuffle-join task.
-    Vectors re-join the pair stream on the uniformly distributed ids for
-    the exact-cosine verify (no skew on those keys by construction).
+    r7 shape (guide §8: decide with small groups, never stream the
+    payload per PAIR). With few sign-bit buckets the candidate set is
+    ~N^2/2^n_planes pairs; the pre-r7 route expanded those pairs as ROWS
+    and attached both vectors to every pair (two joins), then folded an
+    interpreted HOF dot per pair — at the driver's sf1.0 scale that is
+    19M pair rows and 22s (r6), still 8.4s after hoisting the norms.
+    Now vectors aggregate once at (bucket, shard) granularity — sorted
+    (id, vec, nrm) structs, no aggregate row ever holding more than
+    O(|bucket|/n_shards) vectors (the round-2/4 hot-bucket invariant,
+    unchanged; ``n_shards`` is the memory/placement knob) — the
+    aggregated shard rows self-join on the bucket (<= S^2/2 rows per
+    bucket, metadata-scale), an exchange spreads the shard pairs, and
+    ONE mapInArrow stage emits the verified pairs per shard-pair from a
+    numpy accumulation. Shuffle bytes are O(n_shards x vectors), never
+    O(pairs x vectors).
 
-    Each vector lands in exactly ONE bucket, so the expanded pairs are
-    already distinct — no dedup shuffle needed (unlike the banded MinHash
-    path, where a pair can collide in several bands)."""
-    from .dedup_fuzzy import sharded_bucket_pairs
+    Bit-identity (pinned by tests/test_round7_opt.py and full-output
+    hashes at sf0.1/sf1.0): the per-pair cosine is accumulated as
+    ``acc += A[:, i] * B[:, i]`` over i — for each pair exactly the
+    float64 product-then-add left fold the HOF/zip_with form evaluates,
+    elementwise-vectorized across the pair matrix (IEEE ops in the same
+    order); norms are the same JVM-side sqrt(dot(v,v)) column as before,
+    and the same-shard upper-triangle / cross-shard min-max emission
+    reproduces sharded_bucket_pairs' slice semantics over the sorted id
+    arrays. Null-vector rows are dropped up front — their pairs could
+    never pass the verify (null cosine) in the old route.
+
+    Each vector lands in exactly ONE bucket, so emitted pairs are
+    already distinct. ``bucket_cap`` is retained for API compatibility;
+    since r7 there is no in-expression-vs-streamed expansion regime for
+    it to select (the grouped verify has a single shape).
+    Measured sf1.0: 22.2s (r6) -> 2.0-2.7s; output equality checked
+    pair-for-pair (1.67M pairs)."""
+    import numpy as np
+    import pyarrow as pa
 
     parts = df.sparkSession.sparkContext.defaultParallelism * 2
     # spread before the bucket expression (the testdata parquet is a
     # single scan partition)
-    v = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec")).repartition(
-        parts, "id"
+    v = (
+        df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+        .where(F.col("vec").isNotNull())
+        .repartition(parts, "id")
     )
-    b = v.select("id", lsh_bucket(F.col("vec"), dim, n_planes).alias("bucket"))
-    pairs = sharded_bucket_pairs(b, ["bucket"])
-    # Verify-stage shape (r7): the cosine runs once PER PAIR, and the
-    # old inline cosine() folded THREE HOF dots per pair (dot(a,b) +
-    # both norms). Each vector's norm is a per-VECTOR quantity — compute
-    # it once here (N rows) and the per-pair predicate becomes ONE dot
-    # fold divided by the product of the two precomputed norms.
-    # sqrt(dot(v,v)) on the same data is the same expression whether
-    # evaluated per row or per pair, and nrm_a*nrm_b multiplies the SAME
-    # two sqrt values the old cosine() did — bit-identical output,
-    # pinned by tests/test_round7_opt.py and an old-vs-new full-output
-    # hash at sf0.1 AND sf1.0 (1.67M pairs). Measured at the driver's
-    # sf1.0 scale: 22.2s -> 8.4s (the A/B'd alternatives — unrolled
-    # element_at chains, a post-join exchange barrier, an Arrow/numpy
-    # verify stage — all measured slower; see OPTIMIZATION_r07.md).
-    vn = v.select("id", "vec", norm(F.col("vec"), dim).alias("nrm"))
-    return (
-        pairs.join(
-            vn.select(
-                F.col("id").alias("id_a"),
-                F.col("vec").alias("vec_a"),
-                F.col("nrm").alias("nrm_a"),
-            ),
-            "id_a",
-        )
-        .join(
-            vn.select(
-                F.col("id").alias("id_b"),
-                F.col("vec").alias("vec_b"),
-                F.col("nrm").alias("nrm_b"),
-            ),
-            "id_b",
-        )
-        .where(
-            dot(F.col("vec_a"), F.col("vec_b"), dim) / (F.col("nrm_a") * F.col("nrm_b"))
-            >= min_cos
-        )
-        .select("id_a", "id_b")
+    vb = v.select(
+        "id",
+        "vec",
+        norm(F.col("vec"), dim).alias("nrm"),
+        lsh_bucket(F.col("vec"), dim, n_planes).alias("bucket"),
+        F.pmod(F.xxhash64(F.col("id").cast("string")), F.lit(n_shards)).alias(
+            "_shard"
+        ),
     )
+    g = vb.groupBy("bucket", "_shard").agg(
+        F.sort_array(F.collect_list(F.struct("id", "vec", "nrm"))).alias("items")
+    )
+    g1 = g.select("bucket", F.col("_shard").alias("_s1"), F.col("items").alias("_i1"))
+    g2 = g.select("bucket", F.col("_shard").alias("_s2"), F.col("items").alias("_i2"))
+    rows = (
+        g1.join(g2, "bucket")
+        .where(F.col("_s1") <= F.col("_s2"))
+        .repartition(parts)
+        .select("_s1", "_s2", "_i1", "_i2")
+    )
+
+    def verify(batches):
+        def unpack(col, row):
+            lo, hi = col.offsets[row].as_py(), col.offsets[row + 1].as_py()
+            s = col.values.slice(lo, hi - lo)
+            ids = s.field("id").to_pylist()
+            vec = s.field("vec")
+            vlo = vec.offsets[0].as_py()
+            vhi = vec.offsets[len(vec)].as_py()
+            mat = (
+                np.asarray(vec.values.slice(vlo, vhi - vlo), dtype=np.float32)
+                .reshape(len(ids), -1)
+                .astype(np.float64)
+            )
+            nrm = np.asarray(s.field("nrm"), dtype=np.float64)
+            return ids, mat, nrm
+
+        id_type = None
+        for batch in batches:
+            out_a, out_b = [], []
+            s1c, s2c = batch.column("_s1"), batch.column("_s2")
+            i1c, i2c = batch.column("_i1"), batch.column("_i2")
+            if id_type is None:
+                id_type = i1c.values.field("id").type
+            for r in range(batch.num_rows):
+                ids_a, A, na = unpack(i1c, r)
+                ids_b, B, nb = unpack(i2c, r)
+                if not ids_a or not ids_b:
+                    continue
+                acc = np.zeros((len(ids_a), len(ids_b)), dtype=np.float64)
+                for i in range(A.shape[1]):
+                    # exact left fold per pair, vectorized across pairs
+                    acc += A[:, i][:, None] * B[:, i][None, :]
+                keep = (acc / (na[:, None] * nb[None, :])) >= min_cos
+                if s1c[r].as_py() == s2c[r].as_py():
+                    keep = np.triu(keep, k=1)  # sorted ids: i<j == id order
+                    for x, y in zip(*np.nonzero(keep)):
+                        out_a.append(ids_a[x])
+                        out_b.append(ids_b[y])
+                else:
+                    for x, y in zip(*np.nonzero(keep)):
+                        a_, b_ = ids_a[x], ids_b[y]
+                        if a_ <= b_:
+                            out_a.append(a_)
+                            out_b.append(b_)
+                        else:
+                            out_a.append(b_)
+                            out_b.append(a_)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(out_a, type=id_type),
+                    pa.array(out_b, type=id_type),
+                ],
+                names=["id_a", "id_b"],
+            )
+
+    id_dt = df.schema[id_col].dataType.simpleString()
+    return rows.mapInArrow(verify, f"id_a {id_dt}, id_b {id_dt}")

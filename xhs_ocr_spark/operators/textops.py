@@ -186,13 +186,22 @@ def tfidf_topk(df, id_col: str, text_col: str, k: int = 3):
     """
     from pyspark.sql.window import Window
 
+    # r7: spread the raw rows first — the testdata parquet is ONE scan
+    # partition, so the explode + map-side partial aggregation of every
+    # occurrence used to run in a single task (measured: 3.0s of q56's
+    # 5.1s at sf1.0). The aggregated tf frame is then localCheckpoint'ed:
+    # it feeds BOTH the document-frequency aggregate and the scoring
+    # join, and the join's pushed isnotnull(term) otherwise specializes
+    # the two subtrees so no exchange is ever reused (the same effect
+    # token_budget_select documents). sf1.0: 5.1s -> ~0.9s.
+    parts = df.sparkSession.sparkContext.defaultParallelism * 2
+    src = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__text"))
     tf = (
-        df.select(
-            F.col(id_col).alias("id"),
-            F.explode(words(F.lower(F.col(text_col)))).alias("term"),
-        )
+        src.repartition(parts, "id")
+        .select("id", F.explode(words(F.lower(F.col("__text")))).alias("term"))
         .groupBy("id", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=True)
     )
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n_docs = df.select(
@@ -286,32 +295,46 @@ def unigram_rarity(df, id_col: str, text_col: str, keep_max_x1000: int = 200_000
 
     Returns (id, n_tokens, rarity_x1000, keep) — keep=1 iff
     rarity <= keep_max_x1000 (CCNet keeps the LOW-perplexity side)."""
-    # r7 (round-6 ADVICE): occ had THREE consumers (tf aggregate, 1-row
-    # total, surprisal join) and no barrier, so the whole-corpus
-    # tokenize+explode executed three times per run. Now: (a) occ sits
-    # behind an explicit repartition(term) exchange that the tf
-    # aggregate AND the join's probe side both reuse (the groupBy's
-    # required distribution is already satisfied, so no second
-    # shuffle); (b) the total T is derived as sum(tf) from the tf
-    # aggregate (exactly count(occ) — same integer) instead of a third
-    # pass over occ. One scan, one explode, one exchange.
+    # r7 (round-6 ADVICE: occ was derived three times; a first fix that
+    # staged occ behind a repartition(term) exchange was itself measured
+    # a non-win — hashing every occurrence by term collapses onto
+    # |vocabulary| partitions, a skew own-goal). Final shape: spread the
+    # RAW rows (the parquet is one scan partition), pre-aggregate to
+    # per-document term counts (map-side partials collapse repeated
+    # terms before any shuffle), and run everything downstream over that
+    # aggregate: tf = sum(cnt) per term, T = sum(tf) (== count(occ),
+    # same integer), and each (id, term) row contributes
+    # cnt x surprisal — sum(_sur * cnt) over the aggregate equals
+    # sum(_sur) over the occurrences EXACTLY (integer multiply), and
+    # n_tokens = sum(cnt). One scan, one explode; the occurrence frame
+    # itself never crosses a shuffle. sf1.0: 2.4s -> ~1.1s.
     parts = df.sparkSession.sparkContext.defaultParallelism * 2
-    occ = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(words(F.lower(F.col(text_col)))).alias("term"),
-    ).repartition(parts, "term")
-    tf = occ.groupBy("term").agg(F.count(F.lit(1)).alias("tf"))
+    occ = (
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__text"))
+        .repartition(parts, "id")
+        .select("id", F.explode(words(F.lower(F.col("__text")))).alias("term"))
+    )
+    # materialized once: tfd feeds both the term-frequency aggregate and
+    # the surprisal join (same staging discipline as tfidf_topk's tf)
+    tfd = (
+        occ.groupBy("id", "term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=True)
+    )
+    tf = tfd.groupBy("term").agg(F.sum("cnt").alias("tf"))
     total = tf.select(F.sum("tf").cast("long").alias("_t"))
     sur = (
-        occ.join(tf, "term")
+        tfd.join(tf, "term")
         .crossJoin(F.broadcast(total))
         .withColumn("_sur", F.expr("least(CAST(1000000 AS BIGINT), (_t * 1000) DIV tf)"))
     )
     return (
         sur.groupBy("id")
         .agg(
-            F.count(F.lit(1)).cast("long").alias("n_tokens"),
-            F.expr("CAST(sum(_sur) DIV count(1) AS BIGINT)").alias("rarity_x1000"),
+            F.sum("cnt").cast("long").alias("n_tokens"),
+            F.expr("CAST(sum(_sur * cnt) DIV sum(cnt) AS BIGINT)").alias(
+                "rarity_x1000"
+            ),
         )
         .withColumn(
             "keep",
