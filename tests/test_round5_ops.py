@@ -186,11 +186,16 @@ def test_neardup_components_reliable_checkpoint_dir(spark, tmp_path):
     assert found, "reliable checkpoint wrote nothing under checkpoint_dir"
 
 
-def test_neardup_components_nonconvergence_raises(spark):
-    """A component with diameter > max_iter must fail loudly, not return
-    silently-wrong labels (ADVICE r4)."""
+def test_neardup_components_nonconvergence_raises(spark, monkeypatch):
+    """The ITERATIVE route: a component with diameter > max_iter must
+    fail loudly, not return silently-wrong labels (ADVICE r4). Since r7
+    small graphs take the exact driver union-find route (which cannot
+    diverge), the iterative path is forced by zeroing the edge-count
+    cap — its guard must still hold for the at-scale graphs that really
+    use it."""
     import pytest
 
+    monkeypatch.setattr(DF, "NEARDUP_DRIVER_MAX_EDGES", -1)
     chain = spark.createDataFrame(
         [Row(id_a=i, id_b=i + 1) for i in range(12)]
     )

@@ -411,8 +411,11 @@ def neardup_components(
     # order-preserving), so `comp = min id in component` matches
     # bit-for-bit (pinned by tests/test_round7_opt.py). Above the cap
     # the distributed loop below is unchanged.
+    # An explicit checkpoint_dir is the production fault-tolerance
+    # posture — the caller wants the distributed loop with RELIABLE
+    # checkpoints, so the driver shortcut never engages there.
     n_edges = edges.count()
-    if n_edges <= NEARDUP_DRIVER_MAX_EDGES:
+    if checkpoint_dir is None and n_edges <= NEARDUP_DRIVER_MAX_EDGES:
         import pyspark.sql.types as T
 
         comp = _union_find_components(
