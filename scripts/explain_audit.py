@@ -87,13 +87,22 @@ def main() -> None:
     # equi kind (no nested-loop/cartesian), and no python runs; the
     # O(bucket/n_shards) row bound itself is pinned by
     # tests/test_round4_ops.py's degenerate-bucket tests.
+    # r7: band keys derive in ONE Arrow stage (hashlib md5 beats the
+    # interpreted HOF signature chains ~1.5x end to end) whose output is
+    # localCheckpoint'ed — the sharded expansion's self-join consumes it
+    # under both sides, and the checkpoint is what makes the scan + band
+    # stage run exactly once (the pre-r7 JVM plan ran its signature
+    # derivation twice, once per side). The final plan therefore reads
+    # only the checkpointed RDD: no scan, no python; the expansion above
+    # it is the unchanged sharded aggregated-self-join, pure JVM.
     audit(
         "q25_lsh_pairs",
         Q.q_lsh_pairs(spark, SF),
         [
             ("partial collect_set before shuffle", r"partial_collect_set", True),
+            ("no parquet scan above the band checkpoint", r"(?m)^\(\d+\) Scan parquet", False),
+            ("no python above the band checkpoint", r"EvalPython|MapInPandas|MapInArrow", False),
             ("no nested loop / cartesian", r"NestedLoop|CartesianProduct", False),
-            ("no python anywhere", r"EvalPython|MapInPandas", False),
         ],
     )
     # q29 (r7): vectors aggregate at (bucket, shard) granularity and ONE

@@ -275,33 +275,79 @@ def lsh_candidate_pairs(
 ) -> DataFrame:
     """Distinct candidate pairs (id_a < id_b) sharing >=1 LSH band.
 
-    Plan: signature+bands computed ONCE per row in the scan stage ->
+    Plan (r7): ONE Arrow-batched python stage derives the band keys —
+    hashlib's C md5 over plain python shingle strings replaces the
+    interpreted HOF chains (transform/substring/array_min per minhash)
+    that dominated the derivation (A/B at sf1.0, 50k docs: bands 2.8s
+    JVM -> 1.1s; full pair set 4.8s -> 2.8s; pair sets identical, since
+    md5 hex and the ASCII \\s+ tokenization are engine-identical by
+    repo convention — the same reason the DuckDB oracle and the
+    funnel's JVM-side probe indexes interoperate with these keys) ->
     sharded_bucket_pairs (collect at (band, shard) granularity — no
-    O(|bucket|) aggregate row, see its docstring — then guarded pair
-    expansion: in-expression below bucket_cap, streamed explode+slice
-    behind an exchange above it) -> distinct. Shuffles on
-    uniformly-distributed md5 band keys; no self-join of ROW-level data,
-    so the (expensive) signature expression tree is never duplicated
-    across join sides. All routes yield the same pair set, so results
-    are cap/shard-invariant (tested)."""
-    # two exchanges around the md5 work, both over small rows:
-    # - BEFORE: spread input across cores (a low-partition parquet scan
-    #   would otherwise hash every document on one task),
-    # - AFTER: materialization barrier so Catalyst can't inline the md5
-    #   expression tree into every downstream consumer (each band slice /
-    #   signature chunk would recompute it — measured 4-10x wall time).
+    O(|bucket|) aggregate row, see its docstring) -> distinct.
+    Shuffles on uniformly-distributed md5 band keys; no self-join of
+    ROW-level data. All routes yield the same pair set, so results are
+    cap/shard-invariant (tested)."""
+    import pyarrow as pa
+
+    groups = (k + 3) // 4
+    rows_per_band = k // bands
+    n_shingle = n
+
+    def band_rows(batches):
+        from hashlib import md5
+        import re
+
+        ws_re = re.compile(r"\s+", re.ASCII)
+        for batch in batches:
+            ids = batch.column("__id")
+            out_id, out_band = [], []
+            for row, txt in enumerate(batch.column("__text")):
+                t_ = txt.as_py()
+                if t_ is None:
+                    continue  # JVM form: null text -> null bands -> dropped
+                ws = [w for w in ws_re.split(t_.strip()) if w]
+                sh = [
+                    " ".join(ws[i : i + n_shingle])
+                    for i in range(max(len(ws) - (n_shingle - 1), 1))
+                ]
+                hs = [
+                    "".join(
+                        md5((f"{g}|" + s).encode("utf-8")).hexdigest()
+                        for g in range(groups)
+                    )
+                    for s in sh
+                ]
+                sig = [min(h[i * 8 : i * 8 + 8] for h in hs) for i in range(k)]
+                rid = ids[row].as_py()
+                for b in range(bands):
+                    key = md5(
+                        (
+                            str(b)
+                            + "#"
+                            + ",".join(sig[b * rows_per_band : (b + 1) * rows_per_band])
+                        ).encode("utf-8")
+                    ).hexdigest()
+                    out_id.append(rid)
+                    out_band.append(key)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(out_id, type=ids.type), pa.array(out_band, type=pa.string())],
+                names=["id", "band"],
+            )
+
     parts = df.sparkSession.sparkContext.defaultParallelism * 2
-    hs_mat = (
-        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__text"))
-        .repartition(parts, "id")
-        .select("id", hashed_shingles(F.col("__text"), k, n).alias("hs"))
-        .repartition(parts, "id")
-    )
-    sig = hs_mat.select(
-        "id",
-        F.explode(
-            band_keys(signature_from_hashed(F.col("hs"), k), bands, k)
-        ).alias("band"),
+    src = df.select(
+        F.col(id_col).alias("__id"), F.col(text_col).alias("__text")
+    ).repartition(parts, "__id")
+    id_dt = df.schema[id_col].dataType.simpleString()
+    # narrow (id, band) rows materialized once: sharded_bucket_pairs'
+    # aggregated self-join consumes its input under BOTH join sides, and
+    # the whole derivation (scan + band stage) used to run twice — true
+    # of the pre-r7 JVM form too (the committed r6 q29 plan shows two
+    # full scan->aggregate chains). ~4 bands x |docs| rows of two short
+    # columns — cheap to store at any scale next to re-deriving.
+    sig = src.mapInArrow(band_rows, f"id {id_dt}, band string").localCheckpoint(
+        eager=True
     )
     return sharded_bucket_pairs(sig, ["band"]).distinct()
 
